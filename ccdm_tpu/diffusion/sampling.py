@@ -1,0 +1,108 @@
+"""Compiled ancestral sampling for categorical diffusion.
+
+The reference runs the reverse process as a Python loop of 250 sequential
+UNet launches (`ddpm/models/diffusion_denoising.py:164-215`). Here the entire
+loop is a single `lax.scan`: one compilation, weights stay resident in HBM,
+per-step categorical sampling / posterior math / final argmax all fuse
+on-device, and the host is only touched once at the end.
+
+Timestep subsampling parity: the reference encodes "run K of T steps" as
+`init_t = 10000 + K` decoded into `round(linspace(T, 1, K))`
+(`diffusion_denoising.py:178-187`). Here K is simply a static argument
+(`subsampled_t_values`), so each K compiles its own scan once and is reused.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccdm_tpu.diffusion.categorical import (
+    CategoricalDiffusion,
+    max_prob_onehot,
+    sample_onehot,
+    theta_post_prob,
+    uniform_onehot_noise,
+)
+
+# DenoiseFn: (xt [B,H,W,C] one-hot, t [B] int32 1-based) -> p0 probs [B,H,W,C].
+# Conditioning (image, DINO features, params) is closed over by the caller.
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+class SamplerConfig(NamedTuple):
+    """Static sampler options.
+
+    `step_T_sample`: how to resolve the final (t==1) step — "majority" takes
+    the argmax one-hot, "confidence" returns the posterior probabilities
+    themselves (parity: `diffusion_denoising.py:209-212`).
+    """
+
+    num_steps: int  # K: number of reverse steps actually executed
+    step_T_sample: str = "majority"  # "majority" | "confidence"
+
+
+def subsampled_t_values(time_steps: int, num_steps: int) -> np.ndarray:
+    """The descending timestep grid for a K-of-T step sampler run.
+
+    Parity: `diffusion_denoising.py:178-187` — full range when K == T, else
+    `round(linspace(T, 1, K))` (np.linspace + banker's-free round()).
+    """
+    if not 0 < num_steps <= time_steps:
+        raise ValueError(f"num_steps must be in (0, {time_steps}], got {num_steps}")
+    if num_steps == time_steps:
+        return np.arange(time_steps, 0, -1, dtype=np.int32)
+    return np.array(
+        [round(v) for v in np.linspace(time_steps, 1, num_steps)], dtype=np.int32
+    )
+
+
+def ancestral_sampler(
+    d: CategoricalDiffusion,
+    denoise_fn: DenoiseFn,
+    xt: jnp.ndarray,
+    key: jax.Array,
+    config: SamplerConfig,
+) -> jnp.ndarray:
+    """Run the reverse process from `xt ~ q(x_T)` down to a segmentation map.
+
+    Returns one-hot (majority) or probability (confidence) maps `[B,H,W,C]`.
+    Parity: `DenoisingModel.forward_denoising` (`diffusion_denoising.py:164-215`)
+    minus the vestigial classifier-guidance hooks (dead code upstream:
+    `guidance_fn` is referenced but never defined, `:199-202`).
+
+    Wrap in `jax.jit` (donate `xt` for in-place HBM reuse); `config` and the
+    step grid are static so each K compiles exactly once.
+    """
+    t_grid = jnp.asarray(subsampled_t_values(d.time_steps, config.num_steps))
+    batch = xt.shape[0]
+
+    def step(carry, inputs):
+        x, = carry
+        t_scalar, step_idx = inputs
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+
+        p0 = denoise_fn(x, t)
+        probs = theta_post_prob(d, x, p0.astype(jnp.float32), t)
+        probs = jnp.clip(probs, min=1e-12)
+
+        step_key = jax.random.fold_in(key, step_idx)
+        drawn = sample_onehot(step_key, probs)
+        if config.step_T_sample == "confidence":
+            final = probs
+        else:  # "majority" (also the reference's None default, `:209`)
+            final = max_prob_onehot(probs)
+        x_next = jnp.where(t_scalar > 1, drawn, final)
+        return (x_next,), None
+
+    steps = jnp.arange(config.num_steps, dtype=jnp.int32)
+    (x_final,), _ = jax.lax.scan(step, (xt,), (t_grid, steps))
+    return x_final
+
+
+def sample_prior(key: jax.Array, batch: int, height: int, width: int, num_classes: int) -> jnp.ndarray:
+    """Draw `x_T` from the uniform categorical prior, one-hot `[B,H,W,C]`."""
+    return uniform_onehot_noise(key, (batch, height, width), num_classes)
