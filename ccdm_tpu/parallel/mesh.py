@@ -1,0 +1,113 @@
+"""Device mesh + sharding layout for CCDM training and inference.
+
+The reference scales via single-node NCCL DDP (`ddpm_train.py:31-38`,
+`ddpm/trainer.py:603-610`): replicated params, batch split across ranks,
+implicit gradient all-reduce. The TPU-native equivalent is a 2-D
+`Mesh(('data', 'model'))`:
+
+- `data`: batch-dimension sharding. Gradient all-reduce is emitted by XLA
+  from the sharded-batch `jit` (rides ICI; DCN across slices).
+- `model`: tensor parallelism for wide layers. Conv/Dense kernels whose
+  output-channel dim divides the axis are sharded on that dim; XLA inserts
+  the matching all-gathers/reduce-scatters. With `model == 1` this
+  degenerates to pure DP (the reference's regime).
+
+"rank 0 only" I/O gating becomes `jax.process_index() == 0`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int
+    model: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+
+def make_mesh(config: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if config is None:
+        config = MeshConfig(data=len(devices), model=1)
+    if config.num_devices != len(devices):
+        raise ValueError(
+            f"mesh {config} needs {config.num_devices} devices, got {len(devices)}")
+    dev_array = np.asarray(devices).reshape(config.data, config.model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors: sharded on the leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Parameters whose last dim is at least this wide are considered for TP
+# sharding; below it the all-gather cost outweighs the memory/FLOP split.
+_TP_MIN_WIDTH = 64
+
+
+def param_partition_spec(path: tuple, leaf: Any, model_size: int) -> P:
+    """Tensor-parallel layout rule for UNet params.
+
+    Conv kernels are HWIO and Dense kernels IO in Flax: shard the trailing
+    (output-feature) dim over 'model' when it divides evenly and is wide
+    enough. Biases/scales stay replicated: they are tiny, and the matching
+    activations remain fully replicated at layer boundaries, so XLA resolves
+    each sharded matmul with one reduce-scatter/all-gather pair over ICI.
+    """
+    if model_size <= 1:
+        return P()
+    shape = getattr(leaf, "shape", ())
+    if len(shape) < 2:
+        return P()
+    out_dim = shape[-1]
+    if out_dim % model_size != 0 or out_dim < _TP_MIN_WIDTH:
+        return P()
+    return P(*([None] * (len(shape) - 1) + [MODEL_AXIS]))
+
+
+def param_sharding_tree(tree, mesh: Mesh):
+    """Pytree of NamedShardings under the shape-based TP rule.
+
+    The rule depends only on leaf shape, so it applies uniformly to params,
+    EMA params, and optimizer-state moments (which mirror param shapes);
+    scalar/1-D leaves (step counters, biases, scales) replicate.
+    """
+    model_size = mesh.shape[MODEL_AXIS]
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, param_partition_spec((), leaf, model_size)),
+        tree,
+    )
+
+
+def state_shardings(state, mesh: Mesh):
+    """Sharding pytree for a TrainState, for jit in/out_shardings."""
+    return state.replace(
+        step=replicated(mesh),
+        params=param_sharding_tree(state.params, mesh),
+        ema_params=param_sharding_tree(state.ema_params, mesh),
+        opt_state=param_sharding_tree(state.opt_state, mesh),
+    )
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState onto the mesh according to `state_shardings`."""
+    sh = state_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, sh)

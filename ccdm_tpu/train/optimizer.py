@@ -1,0 +1,123 @@
+"""Optimizer + learning-rate schedule construction (optax).
+
+Parity with `ddpm/optimizer.py:9-61` and the no-restart path of `LRFcts`
+(`ddpm/lr_functions.py:82-135`) — the reference always passes
+`lr_restart_steps = []` (`optimizer.py:48`), so the warm-restart machinery is
+dead config surface; only the no-restart schedules are live:
+
+- `polynomial`: `coeff = (1 - step/(total-1))**power`,
+  `mult = (1 - min_ratio)*coeff + min_ratio`, floored at `min_ratio`
+  (`lr_functions.py:121-135`)
+- `linear-warmup-polynomial`: `mult = 1 - (1 - (step+1)/warmup_iters) *
+  (1 - warmup_rate)` for `step < warmup_iters`, then polynomial over the
+  full step range (`lr_functions.py:91-98,109-114`)
+- `exponential`: `gamma ** step` (`lr_functions.py:116-119`)
+- `static` / `piecewise_static`: constant multiplier / ordered
+  `[phase_end, mult]` table with `step <= phase_end` semantics
+  (`lr_functions.py:102-107`)
+
+Optimizers: Adam (no weight decay), AdamW (wd 0.01, betas (0.9, 0.999)),
+SGD (momentum 0.9, wd 5e-4) with the reference's defaults
+(`optimizer.py:25-36`). Total steps = `steps_per_epoch * optim.epochs`
+(`optimizer.py:44-46`).
+
+All schedules are pure `step -> lr` functions usable inside `jit`
+(`jnp.where` instead of Python branches).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict
+
+import jax.numpy as jnp
+import optax
+
+LOGGER = logging.getLogger(__name__)
+
+
+def _polynomial_mult(min_ratio: float, power: float, total_steps: int) -> Callable:
+    denom = max(total_steps - 1, 1)
+
+    def fn(step):
+        coeff = (1.0 - step / denom) ** power
+        mult = (1.0 - min_ratio) * coeff + min_ratio
+        return jnp.maximum(mult, min_ratio)
+
+    return fn
+
+
+def build_lr_schedule(optim_params: Dict[str, Any], steps_per_epoch: int,
+                      max_epochs: int = 1) -> Callable:
+    """Return an absolute `step -> lr` schedule function."""
+    base_lr = float(optim_params.get("learning_rate", 1e-4))
+    name = optim_params.get("lr_function")
+    p = dict(optim_params.get("lr_params") or {})
+    epochs = int(optim_params.get("epochs", max_epochs))
+    total_steps = max(steps_per_epoch * epochs, 1)
+
+    if name is None or name == "static":
+        mult = lambda step: jnp.asarray(1.0)  # noqa: E731
+    elif name == "polynomial":
+        min_lr = float(p.get("min_lr", 0.0))
+        min_ratio = min_lr / base_lr if min_lr > 0 else 0.0
+        mult = _polynomial_mult(min_ratio, float(p.get("power", 1.0)), total_steps)
+    elif name == "cosine":
+        def mult(step):
+            return 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.minimum(step, total_steps) / total_steps))
+    elif name == "exponential":
+        gamma = float(p.get("gamma", 0.98))
+
+        def mult(step):
+            return gamma ** step
+    elif name in ("linear-warmup-polynomial", "warmup_polynomial"):
+        warmup_iters = int(p["warmup_iters"])
+        warmup_rate = float(p["warmup_rate"])
+        min_lr = float(p.get("min_lr", 0.0))
+        min_ratio = min_lr / base_lr if min_lr > 0 else 0.0
+        poly = _polynomial_mult(min_ratio, float(p.get("power", 1.0)), total_steps)
+
+        def mult(step):
+            warm = 1.0 - (1.0 - (step + 1.0) / warmup_iters) * (1.0 - warmup_rate)
+            return jnp.where(step <= warmup_iters - 1, warm, poly(step))
+    elif name == "piecewise_static":
+        table = p["piecewise_static_schedule"]  # list of [phase_end, mult]
+        ends = jnp.asarray([row[0] for row in table], dtype=jnp.float32)
+        vals = jnp.asarray([row[1] for row in table], dtype=jnp.float32)
+
+        def mult(step):
+            idx = jnp.sum(step > ends)  # first phase_end with step <= phase_end
+            return vals[jnp.minimum(idx, len(table) - 1)]
+    else:
+        raise ValueError(f"unknown lr_function {name!r}")
+
+    return lambda step: base_lr * mult(jnp.asarray(step, dtype=jnp.float32))
+
+
+def build_optimizer(params: Dict[str, Any], steps_per_epoch: int):
+    """Build `(optax transform, schedule fn)` from a reference-format params dict."""
+    if "optim" not in params:
+        LOGGER.info("no optim config; defaulting to Adam(lr=1e-4)")
+        schedule = lambda step: 1e-4  # noqa: E731
+        return optax.adam(1e-4), schedule
+
+    p_opt = dict(params["optim"])
+    name = p_opt["name"]
+    schedule = build_lr_schedule(p_opt, steps_per_epoch, int(params.get("max_epochs", 1)))
+
+    if name == "SGD":
+        tx = optax.sgd(schedule, momentum=float(p_opt.get("momentum", 0.9)))
+        wd = float(p_opt.get("weight_decay", 0.0005))
+        if wd:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+    elif name == "Adam":
+        tx = optax.adam(schedule)
+    elif name == "AdamW":
+        betas = tuple(p_opt.get("betas", (0.9, 0.999)))
+        tx = optax.adamw(schedule, b1=betas[0], b2=betas[1],
+                         weight_decay=float(p_opt.get("weight_decay", 0.01)))
+    else:
+        raise ValueError(f"optimizer {name!r} not recognized")
+
+    LOGGER.info("optimizer=%s lr_function=%s", name, p_opt.get("lr_function"))
+    return tx, schedule
