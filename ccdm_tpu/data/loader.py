@@ -1,0 +1,85 @@
+"""Host-side batching + device prefetch.
+
+Replaces torch `DataLoader`/`DistributedSampler` (`ddpm/trainer.py:613-677`)
+with an explicit, seeded, shardable iterator:
+
+- per-epoch shuffling from `np.random.Generator(seed, epoch)` — the
+  `set_epoch` semantics of `DistributedSampler` (`trainer.py:470-477`) without
+  hidden state, and immune to the reference's worker-seeding footgun
+  (`trainer.py:647-650`, `utils.py:89-92`)
+- process sharding: each JAX process takes a strided slice of every epoch's
+  permutation (one host feeds its local devices; batch is the *global* batch)
+- `device_prefetch`: keeps `buffer_size` batches in flight on device so host
+  augmentation overlaps with TPU compute (double buffering by default)
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class EpochLoader:
+    """Deterministic, shardable epoch iterator over an indexed dataset.
+
+    `dataset` must expose `__len__` and `get(index, rng) -> dict[str, np.ndarray]`.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        if batch_size % process_count:
+            raise ValueError(f"global batch {batch_size} not divisible by {process_count} processes")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.local_batch = batch_size // process_count
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch))
+        order = rng.permutation(len(self.dataset)) if self.shuffle else np.arange(len(self.dataset))
+        order = order[self.process_index::self.process_count]
+        nb = len(order) // self.local_batch
+        rem = len(order) % self.local_batch
+        for b in range(nb + (0 if self.drop_last or rem == 0 else 1)):
+            idx = order[b * self.local_batch:(b + 1) * self.local_batch]
+            samples = [self.dataset.get(int(i), rng) for i in idx]
+            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def device_prefetch(it: Iterator, sharding=None, buffer_size: int = 2) -> Iterator:
+    """Asynchronously stage host batches onto the device(s)."""
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            queue.append(jax.tree.map(lambda x: jax.device_put(x, sharding), batch))
+        else:
+            queue.append(jax.tree.map(jax.device_put, batch))
+
+    for batch in it:
+        put(batch)
+        if len(queue) >= buffer_size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

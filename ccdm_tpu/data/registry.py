@@ -1,0 +1,29 @@
+"""Dataset-module resolution by config string.
+
+The reference resolves `params['dataset_file']` via
+`importlib.import_module` (`ddpm/trainer.py:614-615`), with modules exposing
+the protocol `training_dataset / validation_dataset / test_dataset /
+get_num_classes / get_ignore_class` (+ optional `get_weights`). We keep that
+contract and additionally alias the reference's module names so existing
+params.yml files work unchanged.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_ALIASES = {
+    "datasets.lidc": "ccdm_tpu.data.lidc",
+    "datasets.lidc_orig": "ccdm_tpu.data.lidc_orig",
+    "datasets.cityscapes": "ccdm_tpu.data.cityscapes",
+    "datasets.synthetic": "ccdm_tpu.data.synthetic",
+}
+
+
+def resolve_dataset_module(dataset_file: str):
+    name = _ALIASES.get(dataset_file, dataset_file)
+    module = importlib.import_module(name)
+    for attr in ("training_dataset", "get_num_classes", "get_ignore_class"):
+        if not hasattr(module, attr):
+            raise AttributeError(f"dataset module {name!r} lacks required {attr}()")
+    return module
