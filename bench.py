@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: LIDC 16-sample inference throughput on one TPU chip.
+
+Protocol (BASELINE.json north star + `evaluation/evaluate_lidc_sampling_speed.py`):
+generate 16 segmentation samples per image with the flagship LIDC model
+(128x128, 2 classes, unet_openai base 32, T=250 cosine schedule) through the
+full 250-step ancestral sampler, all in one compiled `lax.scan`, and report
+samples/sec/chip.
+
+`vs_baseline` compares against the PyTorch reference's measured per-step
+sampling cost on this host (see scripts/measure_reference_baseline.py ->
+BASELINE_MEASURED.json); absent that file it reports null.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Ensure the repo root is importable regardless of cwd.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import FLAGSHIP_PARAMS
+    from ccdm_tpu.eval.lidc_uncertainty import make_prob_sampler
+    from ccdm_tpu.models.builder import build_model
+
+    num_images = int(os.environ.get("BENCH_IMAGES", 8))
+    num_samples = int(os.environ.get("BENCH_SAMPLES", 16))
+    num_steps = int(os.environ.get("BENCH_STEPS", 250))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    h = w = 128
+
+    params_cfg = dict(FLAGSHIP_PARAMS, step_T_sample="confidence")
+    model = build_model(params_cfg, num_classes=2, image_channels=1, image_size=h)
+    params = model.init(jax.random.PRNGKey(0), (h, w, 1))
+    sampler = make_prob_sampler(model, num_samples, num_steps)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((num_images, h, w, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    # warmup (compile)
+    sampler(params, images, key).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = sampler(params, images, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    total_samples = num_images * num_samples * reps
+    samples_per_sec = total_samples / dt
+
+    vs_baseline = None
+    baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            base = json.load(f)
+        ref = base.get("reference_samples_per_sec")
+        if ref:
+            vs_baseline = samples_per_sec / ref
+
+    print(json.dumps({
+        "metric": "lidc_16sample_inference_throughput",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "config": {
+            "images": num_images, "samples_per_image": num_samples,
+            "steps": num_steps, "resolution": h, "reps": reps,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

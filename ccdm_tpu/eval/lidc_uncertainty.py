@@ -1,0 +1,172 @@
+"""LIDC uncertainty evaluation: GED / diversity / HM-IoU / Dice / mIoU.
+
+Parity: `evaluation/evaluate_lidc_uncertainty.py` —
+
+- per test image, generate `max(evaluations)` segmentation samples **in one
+  batched device pass** (`:93-103`; here the sample axis rides the batch dim
+  of a single compiled `lax.scan` sampler)
+- GED + sample diversity + expert diversity + HM-IoU at every sample count in
+  `evaluations` (`:108-123`)
+- confusion-matrix Dice/IoU/mIoU on the mean log-probability prediction,
+  replicated once per *non-empty* expert mask (`:125-136`) — empty expert
+  masks are excluded, matching the reference exactly
+- the EMA ("average_model") weights are evaluated (`:138-143`)
+
+Returns a metrics dict; the CLI logs it in the reference's format.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccdm_tpu.config import with_defaults
+from ccdm_tpu.data.registry import resolve_dataset_module
+from ccdm_tpu.diffusion.sampling import SamplerConfig, ancestral_sampler, sample_prior
+from ccdm_tpu.eval.metrics import (
+    ConfusionMatrix,
+    generalised_energy_distance,
+    hungarian_matched_iou,
+)
+from ccdm_tpu.models.builder import DenoisingModel, build_model
+from ccdm_tpu.train.checkpoint import load_tree
+
+LOGGER = logging.getLogger(__name__)
+
+
+def make_prob_sampler(model: DenoisingModel, num_samples: int,
+                      num_steps: Optional[int] = None):
+    """Jitted `(params, images [B,H,W,Ci], key) -> probs [B,S,H,W,C]`.
+
+    Uses the model's `step_T_sample` mode for the final step; "confidence"
+    yields probability maps (the eval default, `params_eval.yml:4`)."""
+    cfg = SamplerConfig(num_steps=num_steps or model.time_steps,
+                        step_T_sample=model.step_T_sample)
+    c = model.diffusion.num_classes
+
+    def run(params, images, key):
+        b, h, w, _ = images.shape
+        cond = jnp.repeat(images, num_samples, axis=0)
+        k_prior, k_chain = jax.random.split(key)
+        xt = sample_prior(k_prior, b * num_samples, h, w, c)
+        out = ancestral_sampler(
+            model.diffusion, model.denoise_fn(params, cond), xt, k_chain, cfg)
+        return out.reshape(b, num_samples, h, w, c)
+
+    return jax.jit(run)
+
+
+def load_eval_params(params: Dict[str, Any], model: DenoisingModel, image_shape):
+    """EMA weights from `load_from`, or fresh init if absent (smoke paths)."""
+    load_from = params.get("load_from")
+    init = model.init(jax.random.PRNGKey(int(params.get("seed", 0))), image_shape)
+    if not load_from:
+        LOGGER.warning("no load_from given — evaluating randomly initialised weights")
+        return init
+    tree = load_tree(load_from)
+    restored = tree.get("average_model", tree.get("model"))
+    if restored is None:
+        raise KeyError(f"checkpoint at {load_from!r} has no average_model/model key")
+    return jax.tree.map(lambda t, i: jnp.asarray(t, i.dtype), restored, init)
+
+
+def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = None,
+                          model_params=None) -> Dict[str, Any]:
+    params = with_defaults(params)
+    params.setdefault("step_T_sample", params.get("evaluation_vote_strategy", "confidence"))
+    module = resolve_dataset_module(params["dataset_file"])
+    dataset = module.test_dataset(params.get("dataset_val_max_size"))
+    num_classes = module.get_num_classes()
+    LOGGER.info("%d images in test dataset '%s'", len(dataset), params["dataset_file"])
+
+    evaluations: List[int] = params.get("evaluations", 8)
+    if isinstance(evaluations, int):
+        evaluations = [evaluations]
+    max_samples = max(evaluations)
+
+    first = dataset.get(0)
+    image_shape = first["image"].shape
+    model = build_model(params, num_classes, image_channels=image_shape[-1],
+                        image_size=image_shape[0])
+    if model_params is None:
+        model_params = load_eval_params(params, model, image_shape)
+
+    sampler = make_prob_sampler(model, max_samples, num_steps)
+    batch_size = max(1, int(params.get("batch_size", 2)))
+    key = jax.random.PRNGKey(int(params.get("seed", 0)))
+
+    geds = np.zeros(len(evaluations))
+    div_samples = np.zeros(len(evaluations))
+    div_experts = np.zeros(len(evaluations))
+    hm_ious = np.zeros(len(evaluations))
+    cm = ConfusionMatrix(num_classes)
+    nonzero_total = 0
+    count = 0
+    gen_seconds = 0.0
+
+    n = len(dataset)
+    for start in range(0, n - n % batch_size, batch_size):
+        idx = range(start, start + batch_size)
+        samples = [dataset.get(i) for i in idx]
+        images = jnp.asarray(np.stack([s["image"] for s in samples]))
+        labels = np.stack([s["labels"] for s in samples])  # [B,A,H,W,C]
+        refs = np.argmax(labels, axis=-1).astype(np.int32)  # [B,A,H,W]
+
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        probs = sampler(model_params, images, sub)  # [B,S,H,W,C]
+        probs.block_until_ready()
+        gen_seconds += time.perf_counter() - t0
+        pred_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [B,S,H,W]
+
+        refs_j = jnp.asarray(refs)
+        for i, s in enumerate(evaluations):
+            ged, div_s, div_e = generalised_energy_distance(pred_idx[:, :s], refs_j, num_classes)
+            geds[i] += ged.sum()
+            div_samples[i] += div_s.sum()
+            div_experts[i] += div_e.sum()
+            hm_ious[i] += hungarian_matched_iou(pred_idx[:, :s], refs_j, num_classes).sum()
+
+        # CM on mean log-prob predictions vs each non-empty expert mask
+        # (evaluate_lidc_uncertainty.py:125-136)
+        mean_log = np.asarray(jnp.mean(jnp.log(jnp.clip(probs, min=1e-30)), axis=1))
+        mean_pred = np.argmax(mean_log, axis=-1)  # [B,H,W]
+        nonzero = refs.sum(axis=(2, 3)) > 0  # [B,A]
+        nonzero_total += int(nonzero.sum())
+        for b in range(refs.shape[0]):
+            for a in range(refs.shape[1]):
+                if nonzero[b, a]:
+                    cm.update(mean_pred[b], refs[b, a])
+        count += len(samples)
+
+    results: Dict[str, Any] = {
+        "count": count,
+        "nonzero_fraction": nonzero_total / max(count * labels.shape[1], 1),
+        "mIoU": cm.miou(),
+        "IoU": cm.iou().tolist(),
+        "Dice": cm.dice().tolist(),
+        "diversity_experts": float(div_experts[0] / max(count, 1)),
+        "samples_per_sec": count * max_samples / max(gen_seconds, 1e-9),
+        "generation_seconds": gen_seconds,
+    }
+    for i, s in enumerate(evaluations):
+        results[f"GED_{s}"] = float(geds[i] / max(count, 1))
+        results[f"diversity_{s}"] = float(div_samples[i] / max(count, 1))
+        results[f"HMIoU_{s}"] = float(hm_ious[i] / max(count, 1))
+
+    LOGGER.info("Nonzero: %.4g", results["nonzero_fraction"])
+    LOGGER.info("mIoU scores: %.4g", results["mIoU"])
+    LOGGER.info("IoU scores: %s", results["IoU"])
+    LOGGER.info("Dice scores: %s", results["Dice"])
+    LOGGER.info("Diversity experts: %.4g", results["diversity_experts"])
+    for s in evaluations:
+        LOGGER.info("GED (%d): %.4g", s, results[f"GED_{s}"])
+        LOGGER.info("Diversity samples (%d): %.4g", s, results[f"diversity_{s}"])
+        LOGGER.info("HM IoU (%d): %.4g", s, results[f"HMIoU_{s}"])
+    LOGGER.info("samples/sec: %.2f", results["samples_per_sec"])
+    return results

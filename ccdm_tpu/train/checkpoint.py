@@ -1,0 +1,123 @@
+"""Orbax checkpointing: periodic, best-by-score, debug dumps, resume.
+
+Replaces ignite `ModelCheckpoint` (`ddpm/trainer.py:432-468,494-497,680-681`)
+with Orbax managers over the TrainState pytree:
+
+- periodic `model/` checkpoints, keep 3 (parity: n_saved=3, `trainer.py:435`)
+- `best_hmiou/`, `best_ged/`, `best_miou/` best-by-score managers
+  (parity: `trainer.py:441-468`; GED is minimised, the others maximised)
+- `debug_state/` one-shot dump on invalid loss (parity: `trainer.py:680-681`)
+
+The checkpoint schema keys mirror `Trainer.objects_to_save`
+(`trainer.py:357-376`): `model` (UNet params), `average_model` (EMA params),
+`opt_state`, `step`. Diffusion schedule buffers are reconstructed from config,
+exactly as upstream.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+LOGGER = logging.getLogger(__name__)
+
+
+def _tree_of(state) -> Dict[str, Any]:
+    return {
+        "model": state.params,
+        "average_model": state.ema_params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+
+
+class CheckpointManagers:
+    def __init__(self, output_path: str, keep: int = 3):
+        self.output_path = os.path.abspath(output_path)
+        opts = ocp.CheckpointManagerOptions(max_to_keep=keep)
+        self.periodic = ocp.CheckpointManager(os.path.join(self.output_path, "model"), options=opts)
+        self.best: Dict[str, ocp.CheckpointManager] = {}
+        for name, mode in [("hmiou", "max"), ("ged", "min"), ("miou", "max")]:
+            self.best[name] = ocp.CheckpointManager(
+                os.path.join(self.output_path, f"best_{name}"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=keep,
+                    best_fn=lambda m, k=name: m[k],
+                    best_mode=mode,
+                ),
+            )
+
+    def save_periodic(self, state) -> None:
+        self.periodic.save(int(state.step), args=ocp.args.StandardSave(_tree_of(state)))
+
+    def save_best(self, name: str, state, score: float) -> None:
+        self.best[name].save(
+            int(state.step),
+            args=ocp.args.StandardSave(_tree_of(state)),
+            metrics={name: float(score)},
+        )
+
+    def save_debug(self, state, extras: Optional[Dict[str, Any]] = None) -> None:
+        """Debug-state dump on invalid loss (parity: `trainer.py:295-327`)."""
+        tree = _tree_of(state)
+        if extras:
+            tree["tensors"] = jax.tree.map(np.asarray, extras)
+        mgr = ocp.CheckpointManager(os.path.join(self.output_path, "debug_state"))
+        mgr.save(int(state.step), args=ocp.args.StandardSave(tree))
+        mgr.wait_until_finished()
+        LOGGER.error("debug state saved to %s/debug_state", self.output_path)
+
+    def wait(self):
+        self.periodic.wait_until_finished()
+        for m in self.best.values():
+            m.wait_until_finished()
+
+
+def _resolve_manager_dir(path: str) -> str:
+    path = os.path.abspath(path)
+    model_dir = os.path.join(path, "model")
+    if os.path.isdir(model_dir) and any(s.isdigit() for s in os.listdir(model_dir)):
+        return model_dir
+    return path
+
+
+def load_tree(path: str, step: Optional[int] = None) -> Dict[str, Any]:
+    """Restore the raw checkpoint tree (no template). Used by eval harnesses
+    that only need `average_model` (parity: eval-side loading,
+    `evaluate_lidc_uncertainty.py:138-143,157-161`)."""
+    mgr = ocp.CheckpointManager(_resolve_manager_dir(path))
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint steps under {path!r}")
+    return mgr.restore(step, args=ocp.args.StandardRestore())
+
+
+def load_checkpoint(path: str, state, step: Optional[int] = None):
+    """Restore a TrainState from an Orbax checkpoint directory.
+
+    `path` may be an experiment dir (containing `model/`), a manager dir, or a
+    concrete step dir. Parity with `load` (`trainer.py:582-586`) +
+    eval-side average_model loading (`evaluate_lidc_uncertainty.py:138-143`).
+    """
+    path = os.path.abspath(path)
+    if os.path.isdir(os.path.join(path, "model")) and not os.path.isdir(os.path.join(path, "_CHECKPOINT_METADATA")):
+        candidate = os.path.join(path, "model")
+        if any(s.isdigit() for s in os.listdir(candidate)):
+            path = candidate
+    mgr = ocp.CheckpointManager(path)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint steps under {path!r}")
+    template = jax.tree.map(np.asarray, _tree_of(state))
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    return state.replace(
+        params=restored["model"],
+        ema_params=restored["average_model"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )

@@ -1,0 +1,293 @@
+"""The training runtime: an explicit step-indexed loop around one jitted step.
+
+Replaces the reference's ignite `Engine` + event handlers
+(`ddpm/trainer.py:379-566,684-743`) with a plain loop whose entire state lives
+in the (checkpointable) TrainState:
+
+- `run_train(params)` is the public entry point — same role and config
+  surface as `run_train` (`trainer.py:684-743`)
+- data parallel x tensor parallel over a `Mesh`; gradient all-reduce and TP
+  collectives are emitted by XLA from the shardings (no NCCL analog)
+- event cadence parity: `display_freq` logging, `save_freq` periodic
+  checkpoints, `validation_freq` GED/HM-IoU (LIDC) or mIoU (Cityscapes)
+  validation + best-checkpoints + qualitative grids
+- invalid-loss detection: the jitted step computes an `invalid` flag
+  (NaN/Inf/negative KL, parity `_check_loss` `trainer.py:308-327`); metrics
+  are drained in a small deque so the host never blocks the device pipeline,
+  and an invalid flag triggers a debug-state dump + raise
+- "rank 0 only" I/O = `jax.process_index() == 0`
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+import os
+import pprint
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccdm_tpu.config import expanduservars, with_defaults
+from ccdm_tpu.data.loader import EpochLoader, device_prefetch
+from ccdm_tpu.data.registry import resolve_dataset_module
+from ccdm_tpu.eval.ged_eval import compute_ged, make_batched_sampler
+from ccdm_tpu.eval.metrics import ConfusionMatrix
+from ccdm_tpu.models.builder import DenoisingModel, build_model
+from ccdm_tpu.parallel.mesh import (
+    MeshConfig,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_train_state,
+    state_shardings,
+)
+from ccdm_tpu.train.checkpoint import CheckpointManagers, load_checkpoint
+from ccdm_tpu.train.optimizer import build_optimizer
+from ccdm_tpu.train.state import TrainState, create_train_state
+from ccdm_tpu.train.step import make_train_step
+from ccdm_tpu.utils.archive import archive_code
+from ccdm_tpu.utils.logging import setup_logger
+from ccdm_tpu.utils.visualize import prediction_grid, save_grid
+
+LOGGER = logging.getLogger(__name__)
+
+
+def _class_weights(params: Dict[str, Any], dataset_module, num_classes: int) -> jnp.ndarray:
+    if hasattr(dataset_module, "get_weights"):
+        w = np.asarray(dataset_module.get_weights(), dtype=np.float32)
+    else:
+        w = np.ones((num_classes,), dtype=np.float32)
+    assert len(w) == num_classes, f"len(class_weights) != num_classes: {len(w)} != {num_classes}"
+    return jnp.asarray(w)
+
+
+def _build_datasets(params: Dict[str, Any]):
+    """Dataset module resolution + loaders (parity: `trainer.py:613-677`)."""
+    module = resolve_dataset_module(params["dataset_file"])
+    try:
+        train_ds = module.training_dataset(params)  # cityscapes signature
+    except TypeError:
+        train_ds = module.training_dataset()
+    val_max = params.get("dataset_val_max_size", 100)
+    try:
+        val_ds = module.validation_dataset(max_size=val_max, params=params)
+    except TypeError:
+        val_ds = module.validation_dataset(max_size=val_max)
+    LOGGER.info("%d train / %d val images in %s", len(train_ds), len(val_ds),
+                params["dataset_file"])
+    return module, train_ds, val_ds
+
+
+class TrainingRun:
+    """Holds the live objects of a training session; drives the step loop."""
+
+    def __init__(self, params: Dict[str, Any]):
+        params = with_defaults(params)
+        self.params = params
+        self.output_path = expanduservars(params.get("output_path", "./logs/run"))
+        os.makedirs(self.output_path, exist_ok=True)
+        archive_code(self.output_path)
+        LOGGER.info("experiment dir: %s", self.output_path)
+        LOGGER.info("Training params:\n%s", pprint.pformat(params))
+
+        self.module, self.train_ds, self.val_ds = _build_datasets(params)
+        self.num_classes = self.module.get_num_classes()
+        self.ignore_class = self.module.get_ignore_class()
+        image_shape = self.train_ds.get(0, np.random.default_rng(0))["image"].shape
+
+        # mesh: all visible devices; data x model from params['mesh'] if given
+        mesh_cfg = params.get("mesh") or {}
+        n_dev = len(jax.devices())
+        model_par = int(mesh_cfg.get("model", 1))
+        data_par = int(mesh_cfg.get("data", n_dev // model_par))
+        self.mesh = make_mesh(MeshConfig(data=data_par, model=model_par),
+                              devices=jax.devices()[: data_par * model_par])
+        LOGGER.info("mesh: data=%d model=%d (%d devices)", data_par, model_par, n_dev)
+
+        self.model: DenoisingModel = build_model(
+            params, self.num_classes, image_channels=image_shape[-1],
+            image_size=image_shape[0])
+        init_params = self.model.init(
+            jax.random.PRNGKey(int(params.get("seed", 0))), image_shape)
+        n_params = sum(p.size for p in jax.tree.leaves(init_params))
+        LOGGER.info("UNet parameters: %.3fM", n_params / 1e6)
+
+        self.batch_size = int(params["batch_size"])
+        self.loader = EpochLoader(
+            self.train_ds, self.batch_size, seed=int(params.get("seed", 0)),
+            process_index=jax.process_index(), process_count=jax.process_count())
+        steps_per_epoch = len(self.loader)
+        tx, self.lr_schedule = build_optimizer(params, steps_per_epoch)
+        state = create_train_state(init_params, tx,
+                                   polyak_alpha=float(params["polyak_alpha"]))
+        self.state = shard_train_state(state, self.mesh)
+        self.checkpoints = CheckpointManagers(self.output_path)
+
+        load_from = params.get("load_from")
+        if load_from:
+            LOGGER.info("resuming from %s", load_from)
+            self.state = shard_train_state(
+                load_checkpoint(expanduservars(load_from), state), self.mesh)
+
+        class_weights = _class_weights(params, self.module, self.num_classes)
+        step_fn = make_train_step(self.model, class_weights, self.lr_schedule)
+        sh = state_shardings(self.state, self.mesh)
+        self.batch_sh = batch_sharding(self.mesh)
+        self.rep = replicated(self.mesh)
+        self.jit_step = jax.jit(
+            step_fn,
+            in_shardings=(sh, {"image": self.batch_sh, "x0": self.batch_sh}, self.rep),
+            out_shardings=(sh, self.rep),
+            donate_argnums=0,
+        )
+        self.rng = jax.device_put(
+            jax.random.PRNGKey(int(params.get("seed", 0)) + 1), self.rep)
+        self.steps_per_epoch = steps_per_epoch
+        self.is_main = jax.process_index() == 0
+
+    # ---- validation ------------------------------------------------------
+
+    def validate(self) -> Dict[str, float]:
+        params = self.params
+        metrics: Dict[str, float] = {}
+        if "lidc" in params["dataset_file"] or "synthetic" in params["dataset_file"]:
+            num_samples = int(params.get("samples", 12))
+            val_bs = max(1, self.batch_size // num_samples)
+            ged, div, hmiou = compute_ged(
+                self.model, self.state.ema_params, self.val_ds, num_samples,
+                val_bs, jax.random.fold_in(self.rng, int(self.state.step)),
+                max_batches=int(params.get("validation_max_batches", 0)) or None)
+            LOGGER.info("mean GED %.3f, mean diversity %.3f, HM-IoU %.3f", ged, div, hmiou)
+            metrics.update(GED=ged, diversity=div, HMIoU=hmiou)
+            if self.is_main:
+                self.checkpoints.save_best("ged", self.state, ged)
+                self.checkpoints.save_best("hmiou", self.state, hmiou)
+        else:
+            miou = self.validate_miou()
+            LOGGER.info("val mIoU: %.4f", miou)
+            metrics.update(mIoU=miou)
+            if self.is_main:
+                self.checkpoints.save_best("miou", self.state, miou)
+        return metrics
+
+    def validate_miou(self, max_images: Optional[int] = 16) -> float:
+        """Full-sampler prediction -> confusion-matrix mIoU (parity:
+        `test_step` + ignite CM, `trainer.py:329-342,398-407`)."""
+        sampler = make_batched_sampler(self.model, num_samples=1)
+        cm = ConfusionMatrix(self.num_classes, self.ignore_class)
+        n = min(len(self.val_ds), max_images or len(self.val_ds))
+        bs = max(1, self.batch_size // 4)
+        for start in range(0, n - n % bs, bs):
+            samples = [self.val_ds.get(i) for i in range(start, start + bs)]
+            images = np.stack([s["image"] for s in samples])
+            if "labels" in samples[0]:  # multi-annotator protocol
+                true = np.argmax(np.stack([s["labels"][0] for s in samples]), -1)
+            else:
+                true = np.stack([s["label"] for s in samples])
+            preds = sampler(self.state.ema_params, jnp.asarray(images),
+                            jax.random.fold_in(self.rng, start))
+            cm.update(np.asarray(preds)[:, 0], true)
+        return cm.miou()
+
+    def save_qualitative(self, num_images: Optional[int] = None,
+                         num_predictions: Optional[int] = None) -> str:
+        """Prediction grids (parity: `save_qualitative_results`,
+        `trainer.py:500-518`)."""
+        p = self.params
+        num_images = num_images or int(p.get("n_validation_images", 3))
+        num_predictions = num_predictions or int(p.get("n_validation_predictions", 3))
+        n = min(num_images, len(self.val_ds))
+        samples = [self.val_ds.get(i) for i in range(n)]
+        images = np.stack([s["image"] for s in samples])
+        if "labels" in samples[0]:
+            labels = np.argmax(np.stack([s["labels"][0] for s in samples]), -1)
+        else:
+            labels = np.stack([s["label"] for s in samples])
+        sampler = make_batched_sampler(self.model, num_samples=num_predictions)
+        preds = np.asarray(sampler(self.state.ema_params, jnp.asarray(images),
+                                   jax.random.fold_in(self.rng, 123)))
+        grid = prediction_grid(images, labels, preds, self.num_classes)
+        path = os.path.join(self.output_path, f"images_{int(self.state.step):06d}.png")
+        return save_grid(grid, path)
+
+    # ---- the loop ----------------------------------------------------------
+
+    def run(self, max_steps: Optional[int] = None) -> TrainState:
+        p = self.params
+        max_epochs = int(p.get("max_epochs", 1))
+        display_freq = int(p.get("display_freq", 500))
+        save_freq = int(p.get("save_freq", 1000))
+        validation_freq = int(p.get("validation_freq", 5000))
+
+        pending = collections.deque()  # (step, metrics) futures
+        window_items = 0
+        window_t0 = time.perf_counter()
+
+        def drain(block_all: bool = False):
+            nonlocal window_items, window_t0
+            while pending and (block_all or len(pending) > 2):
+                s, m = pending.popleft()
+                if bool(m["invalid"]):
+                    LOGGER.error("invalid loss at step %d — saving debug state", s)
+                    self.checkpoints.save_debug(self.state)
+                    raise ValueError(f"Invalid loss (nan/inf/neg-KL) at step {s}")
+
+        step0 = int(self.state.step)
+        total = 0
+        epoch = -1
+        while True:
+            epoch += 1
+            # epoch budget: max_epochs normally; unbounded when an explicit
+            # max_steps drives the loop (smoke tests, benchmarks)
+            if max_steps is None and epoch >= max_epochs:
+                break
+            it = device_prefetch(self.loader.epoch(epoch), self.batch_sh)
+            for batch in it:
+                self.state, metrics = self.jit_step(self.state, batch, self.rng)
+                pending.append((step0 + total + 1, metrics))
+                total += 1
+                window_items += self.batch_size
+                step = step0 + total
+
+                if step % display_freq == 0:
+                    drain(block_all=True)
+                    loss = float(metrics["loss"])
+                    lr = float(metrics.get("lr", 0.0))
+                    dt = time.perf_counter() - window_t0
+                    LOGGER.info(
+                        "epoch=%d, iter=%d, speed=%.2f img/s, loss=%.4g, lr=%.6g",
+                        epoch, step, window_items / max(dt, 1e-9), loss, lr)
+                    window_items, window_t0 = 0, time.perf_counter()
+                else:
+                    drain()
+
+                if self.is_main and step % save_freq == 0:
+                    drain(block_all=True)
+                    self.checkpoints.save_periodic(self.state)
+                if step % validation_freq == 0:
+                    drain(block_all=True)
+                    self.validate()
+                    if self.is_main:
+                        try:
+                            self.save_qualitative()
+                        except Exception as e:  # non-fatal
+                            LOGGER.warning("qualitative grid failed: %s", e)
+                if max_steps is not None and total >= max_steps:
+                    drain(block_all=True)
+                    return self.state
+            drain(block_all=True)
+        if self.is_main:
+            self.checkpoints.save_periodic(self.state)
+            self.checkpoints.wait()
+        return self.state
+
+
+def run_train(params: Dict[str, Any], max_steps: Optional[int] = None) -> TrainState:
+    """Public entry point (parity: `run_train`, `trainer.py:684-743`)."""
+    setup_logger()
+    run = TrainingRun(params)
+    return run.run(max_steps=max_steps)

@@ -1,0 +1,83 @@
+"""End-to-end smoke test: train on synthetic data, validate, checkpoint, resume.
+
+SURVEY.md §4(f): smoke train on synthetic data exercises the full stack —
+dataset module resolution, loaders, mesh sharding, jitted step, GED/HM-IoU
+validation with the compiled sampler, Orbax checkpointing and resume.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+SMOKE_PARAMS = {
+    "dataset_file": "ccdm_tpu.data.synthetic",
+    "batch_size": 8,
+    "samples": 4,
+    "max_epochs": 1,
+    "time_steps": 4,
+    "beta_schedule": "cosine",
+    "polyak_alpha": 0.9,
+    "compute_dtype": "float32",
+    "optim": {"name": "Adam", "learning_rate": 1e-3, "lr_function": "polynomial",
+              "lr_params": {"power": 1.0, "min_lr": 1e-5}, "epochs": 1},
+    "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                    "attention_resolutions": [4], "num_head_channels": 4},
+    "display_freq": 2,
+    "save_freq": 4,
+    "validation_freq": 4,
+    "dataset_val_max_size": 4,
+    "validation_max_batches": 1,
+    "n_validation_images": 2,
+    "n_validation_predictions": 2,
+    "mesh": {"model": 1},
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_synthetic(tmp_path_factory, monkeypatch_module=None):
+    # shrink the synthetic dataset via a patched module-level default
+    import ccdm_tpu.data.synthetic as syn
+
+    orig_train, orig_val = syn.training_dataset, syn.validation_dataset
+    syn.training_dataset = lambda: syn.synthetic_training_dataset(n=16, resolution=32)
+    syn.validation_dataset = lambda max_size=4: syn.synthetic_test_dataset(n=4, resolution=32)
+    yield
+    syn.training_dataset, syn.validation_dataset = orig_train, orig_val
+
+
+def test_run_train_smoke(tmp_path, tiny_synthetic):
+    from ccdm_tpu.train.trainer import run_train
+
+    params = dict(SMOKE_PARAMS, output_path=str(tmp_path / "run"))
+    state = run_train(params, max_steps=4)
+    assert int(state.step) == 4
+    # periodic checkpoint written at step 4
+    assert os.path.isdir(tmp_path / "run" / "model")
+    # GED validation ran at step 4 -> best checkpoints exist
+    assert os.path.isdir(tmp_path / "run" / "best_ged")
+    # qualitative grid written
+    pngs = [f for f in os.listdir(tmp_path / "run") if f.endswith(".png")]
+    assert pngs
+
+    # resume from the checkpoint and take more steps
+    params2 = dict(params, load_from=str(tmp_path / "run"),
+                   output_path=str(tmp_path / "run2"))
+    state2 = run_train(params2, max_steps=2)
+    assert int(state2.step) == 6  # 4 restored + 2 new
+
+
+def test_invalid_loss_aborts(tmp_path, tiny_synthetic):
+    """NaN-poisoned params must trigger the debug dump + raise."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccdm_tpu.train.trainer import TrainingRun
+
+    params = dict(SMOKE_PARAMS, output_path=str(tmp_path / "bad"), display_freq=1)
+    run = TrainingRun(params)
+    run.state = run.state.replace(
+        params=jax.tree.map(lambda p: p * jnp.nan, run.state.params))
+    with pytest.raises(ValueError, match="Invalid loss"):
+        run.run(max_steps=3)
+    assert os.path.isdir(tmp_path / "bad" / "debug_state")
