@@ -1,0 +1,159 @@
+"""Cityscapes full-image inference + official scoring.
+
+Parity: `evaluation/eval_cdm.py` (`Evaluator`/`run_inference`) —
+
+- `predict_single`: uniform-noise prior -> full compiled ancestral sampler
+  (`eval_cdm.py:160-165`)
+- `predict_multiple`: confidence vote — average of `evaluations` probability
+  maps (`eval_cdm.py:177-193`). TPU-first: the vote runs ride the batch axis
+  of ONE compiled sampler launch and the mean is taken on device, instead of
+  the reference's sequential per-run loop
+- ignore-class channel dropped before argmax (`eval_cdm.py:229`)
+- optional bilinear upsample to original label resolution
+  (`eval_resolution: "original"`, `eval_cdm.py:221-226`)
+- streaming confusion-matrix mIoU plus PNG dumps: submission label-ids,
+  color maps, raw train-ids (`eval_cdm.py:235-294`)
+- final re-scoring of the saved PNGs with the official-protocol scorer +
+  JSON export (`eval_cdm.py:424-432`)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ccdm_tpu.config import expanduservars, with_defaults
+from ccdm_tpu.data import cityscapes as cs_data
+from ccdm_tpu.data.cityscapes_labels import decode_target_to_color, map_train_id_to_id
+from ccdm_tpu.eval.cs_scoring import score_img_lists
+from ccdm_tpu.eval.lidc_uncertainty import load_eval_params, make_prob_sampler
+from ccdm_tpu.eval.metrics import ConfusionMatrix
+from ccdm_tpu.models.builder import build_model
+
+LOGGER = logging.getLogger(__name__)
+
+
+class CityscapesEvaluator:
+    def __init__(self, params: Dict[str, Any]):
+        params = with_defaults(params)
+        self.params = params
+        self.num_classes = cs_data.get_num_classes()
+        self.ignore = cs_data.get_ignore_class()
+        assert self.ignore == self.num_classes - 1  # eval_cdm.py:107-109 convention
+
+        eval_cfg = params.get("evaluation") or {}
+        self.eval_resolution = eval_cfg.get("resolution", "dataloader")
+        self.vote_strategy = eval_cfg.get("evaluation_vote_strategy", "confidence")
+        self.num_evaluations = int(eval_cfg.get("evaluations", 1))
+        assert self.eval_resolution in ("original", "dataloader")
+        if self.num_evaluations > 1 and self.vote_strategy != "confidence":
+            raise NotImplementedError("majority multi-vote (parity: eval_cdm.py:189)")
+
+        self.output_path = expanduservars(params.get("output_path", "./logs/eval"))
+        os.makedirs(self.output_path, exist_ok=True)
+        self.cm = ConfusionMatrix(self.num_classes - 1)  # eval classes only
+        self.pred_files: list = []
+        self.gt_files: list = []
+
+    def build(self, dataset):
+        first = dataset.get(0, np.random.default_rng(0))
+        image_shape = first["image"].shape
+        p = dict(self.params)
+        p["step_T_sample"] = self.vote_strategy
+        self.model = build_model(p, self.num_classes,
+                                 image_channels=image_shape[-1],
+                                 image_size=max(image_shape[:2]))
+        self.model_params = load_eval_params(self.params, self.model, image_shape)
+        self.sampler = make_prob_sampler(self.model, self.num_evaluations)
+
+    def predict_batch(self, images: np.ndarray, key) -> jnp.ndarray:
+        """[B,H,W,3] -> averaged probability maps [B,H,W,C] (confidence vote)."""
+        probs = self.sampler(self.model_params, jnp.asarray(images), key)
+        return jnp.mean(probs, axis=1)  # mean over the vote axis
+
+    def _dump_pngs(self, idx: int, pred_train_id: np.ndarray, label_train_id: np.ndarray):
+        sub_dir = os.path.join(self.output_path, "submit")
+        color_dir = os.path.join(self.output_path, "color")
+        gt_dir = os.path.join(self.output_path, "gt")
+        for d in (sub_dir, color_dir, gt_dir):
+            os.makedirs(d, exist_ok=True)
+        pred_ids = map_train_id_to_id(pred_train_id).astype(np.uint8)
+        gt_ids = map_train_id_to_id(label_train_id).astype(np.uint8)
+        pred_path = os.path.join(sub_dir, f"{idx:06d}_pred_labelIds.png")
+        gt_path = os.path.join(gt_dir, f"{idx:06d}_gt_labelIds.png")
+        Image.fromarray(pred_ids).save(pred_path)
+        Image.fromarray(gt_ids).save(gt_path)
+        Image.fromarray(decode_target_to_color(pred_train_id).astype(np.uint8)).save(
+            os.path.join(color_dir, f"{idx:06d}_pred_color.png"))
+        self.pred_files.append(pred_path)
+        self.gt_files.append(gt_path)
+
+    def run(self, dataset, batch_size: int, key, max_images: Optional[int] = None) -> Dict:
+        n = len(dataset)
+        if max_images:
+            n = min(n, max_images)
+        n -= n % batch_size
+        rng = np.random.default_rng(0)
+        img_cnt = 0
+        for start in range(0, n, batch_size):
+            samples = [dataset.get(i, rng) for i in range(start, start + batch_size)]
+            images = np.stack([s["image"] for s in samples])
+            labels = np.stack([s["label"] for s in samples])  # train ids [B,H,W]
+
+            key, sub = jax.random.split(key)
+            probs = self.predict_batch(images, sub)  # [B,H,W,C]
+
+            if self.eval_resolution == "original" and "original_labels" in samples[0]:
+                labels = np.stack([s["original_labels"] for s in samples])
+                oh, ow = labels.shape[1:3]
+                probs = jax.image.resize(
+                    probs, (probs.shape[0], oh, ow, probs.shape[-1]), method="bilinear")
+
+            # drop ignore channel before argmax (eval_cdm.py:229)
+            pred = np.asarray(jnp.argmax(probs[..., : self.num_classes - 1], axis=-1))
+
+            valid = labels != self.ignore
+            for b in range(pred.shape[0]):
+                if valid[b].any():
+                    self.cm.update(pred[b][valid[b]][None], labels[b][valid[b]][None])
+                self._dump_pngs(img_cnt, pred[b].astype(np.int64),
+                                labels[b].astype(np.int64))
+                img_cnt += 1
+            LOGGER.info("evaluated %d/%d images, running mIoU=%.4f",
+                        img_cnt, n, self.cm.miou())
+
+        results = {
+            "mIoU": self.cm.miou(),
+            "IoU": self.cm.iou().tolist(),
+            "images": img_cnt,
+        }
+        # official re-scoring of the saved label-id PNGs (eval_cdm.py:424-432)
+        official = score_img_lists(
+            self.pred_files, self.gt_files,
+            export_file=os.path.join(self.output_path, "resultPixelLevelSemanticLabeling.json"))
+        results["official"] = official
+        LOGGER.info("mIoU (train-id CM): %.4f | official class mIoU: %.4f",
+                    results["mIoU"], official["averageScoreClasses"])
+        return results
+
+
+def run_inference(params: Dict[str, Any]) -> Dict:
+    """Parity: `run_inference` (`eval_cdm.py:373-432`)."""
+    params = with_defaults(params)
+    dataset = cs_data.validation_dataset(
+        max_size=params.get("dataset_val_max_size"),
+        params=params,
+        return_metadata=params.get("evaluation", {}).get("resolution") == "original",
+    )
+    LOGGER.info("%d images in cityscapes validation set", len(dataset))
+    ev = CityscapesEvaluator(params)
+    ev.build(dataset)
+    return ev.run(dataset, batch_size=int(params.get("batch_size", 2)),
+                  key=jax.random.PRNGKey(int(params.get("seed", 0))),
+                  max_images=params.get("max_images"))

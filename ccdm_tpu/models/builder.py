@@ -122,6 +122,7 @@ def build_model(
         feature_cond_stride=feature_stride,
         dtype=dtype,
         remat_resblocks=bool(bb.get("use_checkpoint", False)),
+        norm_fp32=bool(bb.get("norm_fp32", True)),
     )
     model = DenoisingModel(
         diffusion=diffusion,

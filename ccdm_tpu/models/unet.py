@@ -74,6 +74,9 @@ class UNetModel(nn.Module):
     remat_attention: bool = True
     remat_resblocks: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    # fp32 elementwise GroupNorm (exact reference semantics). False keeps
+    # fp32 statistics but bf16 normalise - faster on bandwidth-bound levels.
+    norm_fp32: bool = True
 
     @nn.compact
     def __call__(
@@ -95,7 +98,8 @@ class UNetModel(nn.Module):
             block = res_cls(
                 out_channels=out_ch, dropout=self.dropout,
                 use_scale_shift_norm=self.use_scale_shift_norm,
-                up=up, down=down, dtype=self.dtype, name=name,
+                up=up, down=down, dtype=self.dtype,
+                norm_fp32=self.norm_fp32, name=name,
             )
             if self.remat_resblocks:
                 return block(h, emb, deterministic)
@@ -104,7 +108,8 @@ class UNetModel(nn.Module):
         def attn(h, name):
             return attn_cls(num_heads=self.num_heads,
                             num_head_channels=self.num_head_channels,
-                            dtype=self.dtype, name=name)(h)
+                            dtype=self.dtype, norm_fp32=self.norm_fp32,
+                            name=name)(h)
 
         # Timestep embedding (parity: unet.py:504-510,758)
         emb = timestep_embedding(t, mc)
@@ -192,6 +197,7 @@ def create_unet(
     feature_cond_stride: int = 8,
     dtype: jnp.dtype = jnp.bfloat16,
     remat_resblocks: bool = False,
+    norm_fp32: bool = True,
 ) -> UNetModel:
     """Factory mirroring `create_unet_openai` (`unet_openai/__init__.py:5-61`)."""
     if channel_mult is None:
@@ -212,4 +218,5 @@ def create_unet(
         feature_cond_stride=feature_cond_stride,
         dtype=dtype,
         remat_resblocks=remat_resblocks,
+        norm_fp32=norm_fp32,
     )

@@ -1,0 +1,92 @@
+"""Cityscapes scoring + inference harness tests on a fake mini-dataset."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from ccdm_tpu.eval.cs_scoring import score_img_lists
+
+
+def _save(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr.astype(np.uint8)).save(path)
+
+
+def test_score_img_lists_golden(tmp_path):
+    # gt: left half road (id 7), right half car (id 26)
+    gt = np.full((16, 16), 7, np.uint8)
+    gt[:, 8:] = 26
+    # pred: road correct; car half-correct (top rows car, bottom rows road)
+    pred = np.full((16, 16), 7, np.uint8)
+    pred[:8, 8:] = 26
+    gt_p = str(tmp_path / "gt.png")
+    pr_p = str(tmp_path / "pred.png")
+    _save(gt_p, gt)
+    _save(pr_p, pred)
+    res = score_img_lists([pr_p], [gt_p], export_file=str(tmp_path / "res.json"))
+    # car: tp=64, fn=64, fp=0 -> 0.5 ; road: tp=128, fn=0, fp=64 -> 128/192
+    np.testing.assert_allclose(res["classScores"]["car"], 0.5, atol=1e-6)
+    np.testing.assert_allclose(res["classScores"]["road"], 128 / 192, atol=1e-6)
+    assert np.isnan(res["classScores"]["person"])  # absent class
+    # categories: flat = road ids {7,8}: tp=128, fp=64 -> 2/3 ; vehicle -> 0.5
+    np.testing.assert_allclose(res["categoryScores"]["flat"], 128 / 192, atol=1e-6)
+    np.testing.assert_allclose(res["pixelAccuracy"], (128 + 64) / 256, atol=1e-6)
+    assert os.path.exists(tmp_path / "res.json")
+
+
+def test_score_ignores_void_gt(tmp_path):
+    # gt all unlabeled (id 0, ignored): no evaluated pixels -> NaN scores
+    gt = np.zeros((8, 8), np.uint8)
+    pred = np.full((8, 8), 7, np.uint8)
+    gt_p, pr_p = str(tmp_path / "g.png"), str(tmp_path / "p.png")
+    _save(gt_p, gt)
+    _save(pr_p, pred)
+    res = score_img_lists([pr_p], [gt_p])
+    assert np.isnan(res["averageScoreClasses"]) or res["averageScoreClasses"] != res["averageScoreClasses"]
+
+
+@pytest.fixture
+def fake_cityscapes(tmp_path):
+    """Minimal leftImg8bit/gtFine tree: 2 val images, 64x128."""
+    rng = np.random.default_rng(0)
+    for i, city in enumerate(["cityA", "cityA"]):
+        img_dir = tmp_path / "leftImg8bit" / "val" / city
+        gt_dir = tmp_path / "gtFine" / "val" / city
+        img_dir.mkdir(parents=True, exist_ok=True)
+        gt_dir.mkdir(parents=True, exist_ok=True)
+        img = (rng.random((64, 128, 3)) * 255).astype(np.uint8)
+        ids = rng.choice([7, 8, 11, 26, 0], size=(64, 128)).astype(np.uint8)
+        Image.fromarray(img).save(img_dir / f"img{i}_leftImg8bit.png")
+        Image.fromarray(ids).save(gt_dir / f"img{i}_gtFine_labelIds.png")
+    return str(tmp_path)
+
+
+def test_run_inference_smoke(fake_cityscapes, tmp_path, monkeypatch):
+    monkeypatch.setenv("CCDM_CITYSCAPES_PATH", fake_cityscapes)
+    from ccdm_tpu.eval.cityscapes_eval import run_inference
+
+    params = {
+        "output_path": str(tmp_path / "eval_out"),
+        "dataset_file": "ccdm_tpu.data.cityscapes",
+        "dataset_val_max_size": 2,
+        "batch_size": 2,
+        "time_steps": 3,
+        "beta_schedule": "cosine",
+        "compute_dtype": "float32",
+        "evaluation": {"resolution": "dataloader", "evaluations": 2,
+                       "evaluation_vote_strategy": "confidence"},
+        "dataset_pipeline_val": ["resize", "torchvision_normalise"],
+        "dataset_pipeline_val_settings": {"target_size": [32, 64]},
+        "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                        "attention_resolutions": [4], "num_head_channels": 4},
+    }
+    res = run_inference(params)
+    assert res["images"] == 2
+    assert 0.0 <= res["mIoU"] <= 1.0 or np.isnan(res["mIoU"])
+    assert "averageScoreClasses" in res["official"]
+    out = tmp_path / "eval_out"
+    assert (out / "resultPixelLevelSemanticLabeling.json").exists()
+    assert len(list((out / "submit").glob("*.png"))) == 2
+    assert len(list((out / "color").glob("*.png"))) == 2
