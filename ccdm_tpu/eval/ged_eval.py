@@ -26,10 +26,13 @@ LOGGER = logging.getLogger(__name__)
 
 
 def make_batched_sampler(model: DenoisingModel, num_samples: int,
-                         num_steps: Optional[int] = None):
+                         num_steps: Optional[int] = None, feature_fn=None):
     """Returns a jitted `(params, images [B,H,W,Ci], key) -> [B,S,H,W] int32`.
 
     Compiles once per (B, S, K) combination and is reused across batches.
+    `feature_fn` optionally computes the DINO feature condition from the
+    images once per batch; it is repeated across the sample axis exactly
+    like the condition itself (`trainer.py:151-155` parity).
     """
     cfg = SamplerConfig(num_steps=num_steps or model.time_steps,
                         step_T_sample=model.step_T_sample)
@@ -38,10 +41,13 @@ def make_batched_sampler(model: DenoisingModel, num_samples: int,
     def run(params, images, key):
         b, h, w, _ = images.shape
         cond = jnp.repeat(images, num_samples, axis=0)
+        fc = None
+        if feature_fn is not None:
+            fc = jnp.repeat(feature_fn(images), num_samples, axis=0)
         k_prior, k_chain = jax.random.split(key)
         xt = sample_prior(k_prior, b * num_samples, h, w, c)
         out = ancestral_sampler(
-            model.diffusion, model.denoise_fn(params, cond), xt, k_chain, cfg)
+            model.diffusion, model.denoise_fn(params, cond, fc), xt, k_chain, cfg)
         return jnp.argmax(out, axis=-1).reshape(b, num_samples, h, w).astype(jnp.int32)
 
     return jax.jit(run)
@@ -56,13 +62,14 @@ def compute_ged(
     key: jax.Array,
     num_steps: Optional[int] = None,
     max_batches: Optional[int] = None,
+    feature_fn=None,
 ):
     """Mean (GED, sample diversity, HM-IoU) over the dataset.
 
     `dataset` yields eval-protocol samples `{'image','labels'[A,H,W,C],...}`.
     """
     num_classes = model.diffusion.num_classes
-    sampler = make_batched_sampler(model, num_samples, num_steps)
+    sampler = make_batched_sampler(model, num_samples, num_steps, feature_fn)
 
     total_ged = total_div = total_hm = 0.0
     count = 0

@@ -40,7 +40,7 @@ LOGGER = logging.getLogger(__name__)
 
 
 def make_prob_sampler(model: DenoisingModel, num_samples: int,
-                      num_steps: Optional[int] = None):
+                      num_steps: Optional[int] = None, feature_fn=None):
     """Jitted `(params, images [B,H,W,Ci], key) -> probs [B,S,H,W,C]`.
 
     Uses the model's `step_T_sample` mode for the final step; "confidence"
@@ -52,10 +52,13 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
     def run(params, images, key):
         b, h, w, _ = images.shape
         cond = jnp.repeat(images, num_samples, axis=0)
+        fc = None
+        if feature_fn is not None:
+            fc = jnp.repeat(feature_fn(images), num_samples, axis=0)
         k_prior, k_chain = jax.random.split(key)
         xt = sample_prior(k_prior, b * num_samples, h, w, c)
         out = ancestral_sampler(
-            model.diffusion, model.denoise_fn(params, cond), xt, k_chain, cfg)
+            model.diffusion, model.denoise_fn(params, cond, fc), xt, k_chain, cfg)
         return out.reshape(b, num_samples, h, w, c)
 
     return jax.jit(run)

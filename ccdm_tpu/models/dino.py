@@ -1,0 +1,199 @@
+"""DINO ViT feature extractor (ViT-S/8, ViT-B/8) in Flax.
+
+Re-expresses the reference's `ViTExtractor` (`ddpm/models/dino.py:15-340`)
+TPU-style: instead of torch forward hooks capturing attention facets
+(`dino.py:161-229`), the Flax module returns the requested facet directly
+from the target block; instead of monkey-patched conv stride + a swapped
+`interpolate_pos_encoding` method (`dino.py:84-139`), stride and
+position-embedding interpolation are ordinary module parameters/functions.
+
+Behavioural parity:
+- patch embed conv with stride `output_stride` (<= patch size, dividing it)
+- bicubic interpolation of the patch position embeddings to the token grid
+  (`dino.py:92-116`), cls token prepended
+- facet extraction at a configurable layer (default 11, the last): 'key' /
+  'query' / 'value' are per-head attention tensors flattened back to
+  `[B, tokens, dim]`; 'token' is the block output (`dino.py:279-324`)
+- descriptors reshaped to `[B, H/stride, W/stride, dim]` channels-last and
+  bilinearly resized (`dino.py:303-307`) — ready to concat into the UNet
+
+Pretrained weights: this container has no network egress, so torch-hub
+download (`dino.py:66`) is replaced by `scripts/convert_dino_checkpoint.py`
+(torch .pth -> .npz) + `load_dino_npz`. Random init carries a loud warning.
+
+Configs: dino_vits8 (dim 384, 6 heads, 12 blocks), dino_vitb8 (768, 12, 12).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LOGGER = logging.getLogger(__name__)
+
+VIT_CONFIGS = {
+    "dino_vits8": dict(embed_dim=384, depth=12, num_heads=6, patch_size=8),
+    "dino_vitb8": dict(embed_dim=768, depth=12, num_heads=12, patch_size=8),
+    "dino_vits16": dict(embed_dim=384, depth=12, num_heads=6, patch_size=16),
+    "dino_vitb16": dict(embed_dim=768, depth=12, num_heads=12, patch_size=16),
+}
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, grid_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic-resize the (non-cls) position embeddings to a new token grid.
+
+    Parity: `_fix_pos_enc.interpolate_pos_encoding` (`dino.py:92-116`).
+    `pos_embed`: [1, 1 + N, D] with N a square grid.
+    """
+    cls_pe = pos_embed[:, :1]
+    patch_pe = pos_embed[:, 1:]
+    n = patch_pe.shape[1]
+    side = int(round(float(np.sqrt(n))))
+    assert side * side == n, f"non-square pretrain grid {n}"
+    h, w = grid_hw
+    if (h, w) == (side, side):
+        return pos_embed
+    grid = patch_pe.reshape(1, side, side, -1)
+    grid = jax.image.resize(grid, (1, h, w, grid.shape[-1]), method="bicubic")
+    return jnp.concatenate([cls_pe, grid.reshape(1, h * w, -1)], axis=1)
+
+
+class ViTBlock(nn.Module):
+    """Pre-LN transformer block returning (output, facets dict)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        b, t, d = x.shape
+        dh = d // self.num_heads
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="attn_qkv")(y)
+        qkv = qkv.reshape(b, t, 3, self.num_heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,T,H,dh]
+        logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(dh)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = nn.Dense(d, dtype=self.dtype, name="attn_proj")(out.reshape(b, t, d))
+        x = x + out
+        y2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        hdim = int(d * self.mlp_ratio)
+        y2 = nn.Dense(hdim, dtype=self.dtype, name="mlp_fc1")(y2)
+        y2 = nn.Dense(d, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y2))
+        x = x + y2
+        facets = {
+            "query": q.reshape(b, t, d),
+            "key": k.reshape(b, t, d),
+            "value": v.reshape(b, t, d),
+            "token": x,
+        }
+        return x, facets
+
+
+class DinoViT(nn.Module):
+    """DINO ViT returning the facet of a chosen block as a feature map."""
+
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch_size: int
+    stride: int
+    source_layer: int = 11
+    facet: str = "key"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: [B,H,W,3] ImageNet-normalised. Returns [B,h',w',D]."""
+        b, h, w, _ = images.shape
+        p, s = self.patch_size, self.stride
+        assert p % s == 0 or s == p, f"stride {s} must divide patch {p}"
+        gh = 1 + (h - p) // s
+        gw = 1 + (w - p) // s
+
+        x = nn.Conv(self.embed_dim, (p, p), strides=(s, s), padding="VALID",
+                    dtype=self.dtype, name="patch_embed")(images.astype(self.dtype))
+        x = x.reshape(b, gh * gw, self.embed_dim)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.embed_dim))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, 1 + (224 // p) ** 2, self.embed_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
+        x = x + interpolate_pos_embed(pos, (gh, gw)).astype(x.dtype)
+
+        feat = None
+        for i in range(self.depth):
+            x, facets = ViTBlock(self.num_heads, dtype=self.dtype, name=f"block_{i}")(x)
+            if i == self.source_layer:
+                feat = facets[self.facet]
+        assert feat is not None, f"source_layer {self.source_layer} >= depth {self.depth}"
+        feat = feat[:, 1:]  # drop cls (dino.py:298)
+        return feat.reshape(b, gh, gw, self.embed_dim)
+
+
+class DinoFeatureEncoder:
+    """Functional wrapper: the `_build_feature_cond_encoder` analogue
+    (`condition_encoder.py:56-82`). Frozen by default (`train: no`)."""
+
+    def __init__(self, fce_params: dict):
+        name = fce_params.get("model", "dino_vits8")
+        cfg = VIT_CONFIGS[name]
+        self.name = name
+        self.stride = int(fce_params.get("output_stride", 8))
+        self.module = DinoViT(
+            embed_dim=cfg["embed_dim"], depth=cfg["depth"],
+            num_heads=cfg["num_heads"], patch_size=cfg["patch_size"],
+            stride=self.stride,
+            source_layer=int(fce_params.get("source_layer", 11)),
+        )
+        self.channels = cfg["embed_dim"]
+        self.trainable = bool(fce_params.get("train", False))
+
+    def init(self, key: jax.Array, image_shape: Tuple[int, int, int]):
+        h, w, _ = image_shape
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        return self.module.init({"params": key}, dummy)["params"]
+
+    def load_pretrained(self, npz_path: str, params):
+        return load_dino_npz(npz_path, params)
+
+    def __call__(self, params, images: jnp.ndarray,
+                 resize_to: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+        """[B,H,W,3] -> [B, H/stride, W/stride, D] (or `resize_to`)."""
+        feats = self.module.apply({"params": params}, images)
+        b, gh, gw, d = feats.shape
+        h, w = images.shape[1:3]
+        target = resize_to or (h // self.stride, w // self.stride)
+        if (gh, gw) != target:
+            feats = jax.image.resize(feats, (b, *target, d), method="bilinear")
+        if not self.trainable:
+            feats = jax.lax.stop_gradient(feats)
+        return feats
+
+
+def load_dino_npz(npz_path: str, params):
+    """Load converted DINO weights (see scripts/convert_dino_checkpoint.py)
+    into the Flax param tree by matching flattened key paths."""
+    blob = np.load(npz_path)
+    leaves_with_path, _ = jax.tree_util.tree_flatten_with_path(params)
+    new_leaves = []
+    for path, leaf in leaves_with_path:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if name not in blob:
+            raise KeyError(f"converted checkpoint missing {name!r}")
+        arr = jnp.asarray(blob[name], dtype=leaf.dtype)
+        assert arr.shape == leaf.shape, f"{name}: {arr.shape} != {leaf.shape}"
+        new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(jax.tree.structure(params), new_leaves)

@@ -54,9 +54,13 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # min(32, C) generalises the reference to narrow test configs; all
-        # real configs have channels >= 32 and use exactly 32 groups.
-        groups = min(32, x.shape[-1])
+        # Largest divisor of C that is <= 32: exactly 32 for every real config
+        # (channels are 32-multiples, matching the reference's GroupNorm(32));
+        # generalises to narrow test configs.
+        c = x.shape[-1]
+        groups = min(32, c)
+        while c % groups:
+            groups -= 1
         dtype = jnp.float32 if self.full_fp32 else x.dtype
         y = nn.GroupNorm(num_groups=groups, epsilon=1e-5, dtype=dtype,
                          param_dtype=jnp.float32)(x)

@@ -40,10 +40,14 @@ def train_loss(
     rng: jax.Array,
     class_weights: jnp.ndarray,
     feature_condition: Optional[jnp.ndarray] = None,
+    feature_fn: Optional[Callable] = None,
 ) -> tuple:
     """Compute the CCDM training loss for one batch. Returns (loss, aux)."""
     image = batch["image"]
     x0 = batch["x0"]
+    if feature_condition is None and feature_fn is not None:
+        # frozen DINO conditioning computed in-graph (trainer.py:246 parity)
+        feature_condition = feature_fn(image)
     b = x0.shape[0]
     d = model.diffusion
 
@@ -80,6 +84,7 @@ def make_train_step(
     model: DenoisingModel,
     class_weights: jnp.ndarray,
     lr_schedule: Optional[Callable] = None,
+    feature_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the (un-jitted) train step `(state, batch, rng) -> (state, metrics)`.
 
@@ -93,7 +98,7 @@ def make_train_step(
 
         def loss_fn(params):
             return train_loss(model, params, batch, step_rng, class_weights,
-                              batch.get("feature_condition"))
+                              batch.get("feature_condition"), feature_fn)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)

@@ -108,11 +108,37 @@ class TrainingRun:
                               devices=jax.devices()[: data_par * model_par])
         LOGGER.info("mesh: data=%d model=%d (%d devices)", data_par, model_par, n_dev)
 
+        # DINO feature conditioning (parity: `_build_feature_cond_encoder`,
+        # `condition_encoder.py:56-82`; frozen unless `train: yes`, which is
+        # not yet supported here — weights are constants in the jitted step)
+        fce = params.get("feature_cond_encoder") or {"type": "none"}
+        self.feature_fn = None
+        feature_shape = None
+        if fce.get("type") == "dino":
+            from ccdm_tpu.models.dino import DinoFeatureEncoder
+
+            if fce.get("train"):
+                raise NotImplementedError("trainable DINO encoder not supported yet")
+            encoder = DinoFeatureEncoder(fce)
+            enc_params = encoder.init(jax.random.PRNGKey(7), image_shape)
+            weights = fce.get("weights")
+            if weights:
+                enc_params = encoder.load_pretrained(expanduservars(weights), enc_params)
+            else:
+                LOGGER.warning("DINO conditioning with RANDOM weights — provide "
+                               "feature_cond_encoder.weights (converted .npz)")
+            self.feature_fn = lambda img: encoder(enc_params, img)
+            feature_shape = (image_shape[0] // encoder.stride,
+                             image_shape[1] // encoder.stride, encoder.channels)
+            LOGGER.info("DINO feature conditioning: %s stride=%d ch=%d",
+                        encoder.name, encoder.stride, encoder.channels)
+
         self.model: DenoisingModel = build_model(
             params, self.num_classes, image_channels=image_shape[-1],
             image_size=image_shape[0])
         init_params = self.model.init(
-            jax.random.PRNGKey(int(params.get("seed", 0))), image_shape)
+            jax.random.PRNGKey(int(params.get("seed", 0))), image_shape,
+            feature_shape=feature_shape)
         n_params = sum(p.size for p in jax.tree.leaves(init_params))
         LOGGER.info("UNet parameters: %.3fM", n_params / 1e6)
 
@@ -134,7 +160,8 @@ class TrainingRun:
                 load_checkpoint(expanduservars(load_from), state), self.mesh)
 
         class_weights = _class_weights(params, self.module, self.num_classes)
-        step_fn = make_train_step(self.model, class_weights, self.lr_schedule)
+        step_fn = make_train_step(self.model, class_weights, self.lr_schedule,
+                                  feature_fn=self.feature_fn)
         sh = state_shardings(self.state, self.mesh)
         self.batch_sh = batch_sharding(self.mesh)
         self.rep = replicated(self.mesh)
@@ -160,7 +187,8 @@ class TrainingRun:
             ged, div, hmiou = compute_ged(
                 self.model, self.state.ema_params, self.val_ds, num_samples,
                 val_bs, jax.random.fold_in(self.rng, int(self.state.step)),
-                max_batches=int(params.get("validation_max_batches", 0)) or None)
+                max_batches=int(params.get("validation_max_batches", 0)) or None,
+                feature_fn=self.feature_fn)
             LOGGER.info("mean GED %.3f, mean diversity %.3f, HM-IoU %.3f", ged, div, hmiou)
             metrics.update(GED=ged, diversity=div, HMIoU=hmiou)
             if self.is_main:
@@ -177,7 +205,7 @@ class TrainingRun:
     def validate_miou(self, max_images: Optional[int] = 16) -> float:
         """Full-sampler prediction -> confusion-matrix mIoU (parity:
         `test_step` + ignite CM, `trainer.py:329-342,398-407`)."""
-        sampler = make_batched_sampler(self.model, num_samples=1)
+        sampler = make_batched_sampler(self.model, num_samples=1, feature_fn=self.feature_fn)
         cm = ConfusionMatrix(self.num_classes, self.ignore_class)
         n = min(len(self.val_ds), max_images or len(self.val_ds))
         bs = max(1, self.batch_size // 4)
@@ -207,7 +235,7 @@ class TrainingRun:
             labels = np.argmax(np.stack([s["labels"][0] for s in samples]), -1)
         else:
             labels = np.stack([s["label"] for s in samples])
-        sampler = make_batched_sampler(self.model, num_samples=num_predictions)
+        sampler = make_batched_sampler(self.model, num_samples=num_predictions, feature_fn=self.feature_fn)
         preds = np.asarray(sampler(self.state.ema_params, jnp.asarray(images),
                                    jax.random.fold_in(self.rng, 123)))
         grid = prediction_grid(images, labels, preds, self.num_classes)
