@@ -37,16 +37,21 @@ CATEGORIES = sorted({l.category for l in EVAL_LABELS})
 def confusion_matrix_from_pairs(
     pairs: Sequence[Tuple[str, str]],
 ) -> np.ndarray:
-    """Accumulate a [256, 256] (gt, pred) confusion matrix over PNG pairs."""
-    cm = np.zeros((MAX_ID * MAX_ID,), dtype=np.int64)
+    """Accumulate a [256, 256] (gt, pred) confusion matrix over PNG pairs.
+
+    Uses the native C++ kernel when available (ccdm_tpu.native), mirroring
+    the reference's optional Cython fast path (`cs_eval.py:15-21`)."""
+    from ccdm_tpu.native import add_to_confusion_matrix
+
+    cm = np.zeros((MAX_ID, MAX_ID), dtype=np.int64)
     for pred_path, gt_path in pairs:
-        pred = np.asarray(Image.open(pred_path), dtype=np.int64)
-        gt = np.asarray(Image.open(gt_path), dtype=np.int64)
+        pred = np.asarray(Image.open(pred_path), dtype=np.uint8)
+        gt = np.asarray(Image.open(gt_path), dtype=np.uint8)
         if pred.shape != gt.shape:
             raise ValueError(
                 f"shape mismatch {pred.shape} vs {gt.shape}: {pred_path} / {gt_path}")
-        cm += np.bincount((gt * MAX_ID + pred).ravel(), minlength=MAX_ID * MAX_ID)
-    return cm.reshape(MAX_ID, MAX_ID)
+        add_to_confusion_matrix(gt, pred, MAX_ID, cm)
+    return cm
 
 
 def _iou_for_ids(cm: np.ndarray, ids: List[int], all_eval_ids: List[int]) -> float:

@@ -51,6 +51,7 @@ from ccdm_tpu.train.state import TrainState, create_train_state
 from ccdm_tpu.train.step import make_train_step
 from ccdm_tpu.utils.archive import archive_code
 from ccdm_tpu.utils.logging import setup_logger
+from ccdm_tpu.utils.metrics_log import MetricsLogger
 from ccdm_tpu.utils.visualize import prediction_grid, save_grid
 
 LOGGER = logging.getLogger(__name__)
@@ -152,6 +153,7 @@ class TrainingRun:
                                    polyak_alpha=float(params["polyak_alpha"]))
         self.state = shard_train_state(state, self.mesh)
         self.checkpoints = CheckpointManagers(self.output_path)
+        self.metrics = MetricsLogger(self.output_path, params)
 
         load_from = params.get("load_from")
         if load_from:
@@ -192,6 +194,7 @@ class TrainingRun:
             LOGGER.info("mean GED %.3f, mean diversity %.3f, HM-IoU %.3f", ged, div, hmiou)
             metrics.update(GED=ged, diversity=div, HMIoU=hmiou)
             if self.is_main:
+                self.metrics.log(int(self.state.step), metrics, tag="val")
                 self.checkpoints.save_best("ged", self.state, ged)
                 self.checkpoints.save_best("hmiou", self.state, hmiou)
         else:
@@ -199,6 +202,7 @@ class TrainingRun:
             LOGGER.info("val mIoU: %.4f", miou)
             metrics.update(mIoU=miou)
             if self.is_main:
+                self.metrics.log(int(self.state.step), metrics, tag="val")
                 self.checkpoints.save_best("miou", self.state, miou)
         return metrics
 
@@ -251,6 +255,9 @@ class TrainingRun:
         save_freq = int(p.get("save_freq", 1000))
         validation_freq = int(p.get("validation_freq", 5000))
 
+        profile_from = int(p.get("profile_steps", 0))  # trace N steps from step 10
+        profiling = False
+
         pending = collections.deque()  # (step, metrics) futures
         window_items = 0
         window_t0 = time.perf_counter()
@@ -275,9 +282,17 @@ class TrainingRun:
                 break
             it = device_prefetch(self.loader.epoch(epoch), self.batch_sh)
             for batch in it:
+                if profile_from and not profiling and total == 10:
+                    jax.profiler.start_trace(os.path.join(self.output_path, "profile"))
+                    profiling = True
                 self.state, metrics = self.jit_step(self.state, batch, self.rng)
                 pending.append((step0 + total + 1, metrics))
                 total += 1
+                if profiling and total >= 10 + profile_from:
+                    jax.tree.leaves(metrics)[0].block_until_ready()
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    LOGGER.info("profiler trace written to %s/profile", self.output_path)
                 window_items += self.batch_size
                 step = step0 + total
 
@@ -286,9 +301,12 @@ class TrainingRun:
                     loss = float(metrics["loss"])
                     lr = float(metrics.get("lr", 0.0))
                     dt = time.perf_counter() - window_t0
+                    speed = window_items / max(dt, 1e-9)
                     LOGGER.info(
                         "epoch=%d, iter=%d, speed=%.2f img/s, loss=%.4g, lr=%.6g",
-                        epoch, step, window_items / max(dt, 1e-9), loss, lr)
+                        epoch, step, speed, loss, lr)
+                    self.metrics.log(step, {"loss": loss, "lr": lr,
+                                            "imgs_per_sec": speed}, tag="train")
                     window_items, window_t0 = 0, time.perf_counter()
                 else:
                     drain()
@@ -301,7 +319,8 @@ class TrainingRun:
                     self.validate()
                     if self.is_main:
                         try:
-                            self.save_qualitative()
+                            png = self.save_qualitative()
+                            self.metrics.log_image(step, png, f"iteration {step}")
                         except Exception as e:  # non-fatal
                             LOGGER.warning("qualitative grid failed: %s", e)
                 if max_steps is not None and total >= max_steps:
