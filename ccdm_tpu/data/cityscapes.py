@@ -78,7 +78,9 @@ class CityscapesDataset:
     def __len__(self):
         return len(self.indices)
 
-    def get(self, index: int, rng: np.random.Generator):
+    def get(self, index: int, rng: Optional[np.random.Generator] = None):
+        if rng is None:  # eval paths draw nothing random; crop/flip are train-only
+            rng = np.random.default_rng(index)
         i = int(self.indices[index])
         img = np.asarray(Image.open(self.image_files[i]).convert("RGB"))
         lbl = labels_to_categories(np.asarray(Image.open(self.label_files[i])))
