@@ -172,4 +172,20 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
         LOGGER.info("Diversity samples (%d): %.4g", s, results[f"diversity_{s}"])
         LOGGER.info("HM IoU (%d): %.4g", s, results[f"HMIoU_{s}"])
     LOGGER.info("samples/sec: %.2f", results["samples_per_sec"])
+
+    # persist results (parity: `evaluation_path`, params_eval.yml:2)
+    out_dir = params.get("evaluation_path") or params.get("output_path")
+    if out_dir:
+        import json
+        import os
+
+        from ccdm_tpu.config import expanduservars
+
+        out_dir = expanduservars(out_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        tag = f"steps{num_steps}" if num_steps else "full"
+        path = os.path.join(out_dir, f"lidc_uncertainty_{tag}.json")
+        with open(path, "w") as f:
+            json.dump(results, f, indent=2)
+        LOGGER.info("wrote results to %s", path)
     return results

@@ -14,4 +14,7 @@ def setup_logger(level: int = logging.INFO) -> logging.Logger:
         handler.setFormatter(logging.Formatter(
             "\x1b[32;1m%(asctime)s [%(name)s]\x1b[0m %(message)s"))
         root.addHandler(handler)
+    # Orbax/absl emit multi-KB INFO lines per checkpoint manager; keep warnings.
+    logging.getLogger("absl").setLevel(logging.WARNING)
+    logging.getLogger("orbax").setLevel(logging.WARNING)
     return root

@@ -90,3 +90,34 @@ def test_run_inference_smoke(fake_cityscapes, tmp_path, monkeypatch):
     assert (out / "resultPixelLevelSemanticLabeling.json").exists()
     assert len(list((out / "submit").glob("*.png"))) == 2
     assert len(list((out / "color").glob("*.png"))) == 2
+
+
+def test_run_inference_original_resolution(fake_cityscapes, tmp_path, monkeypatch):
+    """eval_resolution 'original': predictions upsampled to gt resolution
+    (eval_cdm.py:221-226 parity)."""
+    monkeypatch.setenv("CCDM_CITYSCAPES_PATH", fake_cityscapes)
+    from PIL import Image
+
+    from ccdm_tpu.eval.cityscapes_eval import run_inference
+
+    params = {
+        "output_path": str(tmp_path / "eval_orig"),
+        "dataset_file": "ccdm_tpu.data.cityscapes",
+        "dataset_val_max_size": 2,
+        "batch_size": 2,
+        "time_steps": 2,
+        "beta_schedule": "cosine",
+        "compute_dtype": "float32",
+        "evaluation": {"resolution": "original", "evaluations": 1,
+                       "evaluation_vote_strategy": "confidence"},
+        "dataset_pipeline_val": ["resize", "torchvision_normalise"],
+        "dataset_pipeline_val_settings": {"target_size": [32, 64],
+                                          "return_original_labels": True},
+        "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                        "attention_resolutions": [4], "num_head_channels": 4},
+    }
+    res = run_inference(params)
+    assert res["images"] == 2
+    # dumped PNGs are at the ORIGINAL 64x128 resolution
+    png = next((tmp_path / "eval_orig" / "submit").glob("*.png"))
+    assert Image.open(png).size == (128, 64)
