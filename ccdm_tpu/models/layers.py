@@ -180,6 +180,8 @@ class AttentionBlock(nn.Module):
     num_head_channels: int = -1
     dtype: jnp.dtype = jnp.bfloat16
     norm_fp32: bool = True
+    # None = auto (flash on TPU at >=2048 tokens), True/False = force
+    flash_attention: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -198,13 +200,20 @@ class AttentionBlock(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(norm)
         q, k, v = jnp.split(qkv.reshape(b, h * w, heads, 3 * dh), 3, axis=-1)
 
-        scale = 1.0 / math.sqrt(math.sqrt(dh))
-        logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
-                            preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", weights, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.reshape(b, h * w, c)
+        from ccdm_tpu.ops.flash_attention import dense_attention, flash_attention
+
+        # Pallas flash path above the token count where the dense [B,H,T,T]
+        # tensor starts to dominate HBM (Cityscapes 256x512 at ds=8 = 2048
+        # tokens); dense below it, where XLA fusion wins.
+        if self.flash_attention or (
+            self.flash_attention is None
+            and h * w >= 2048
+            and jax.default_backend() == "tpu"
+        ):
+            out = flash_attention(q, k, v)
+        else:
+            out = dense_attention(q, k, v)
+        out = out.astype(self.dtype).reshape(b, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                        kernel_init=nn.initializers.zeros, name="proj")(out)
         return (tokens + out).reshape(b, h, w, c)
