@@ -47,14 +47,16 @@ def main():
     images = jnp.asarray(rng.standard_normal((num_images, h, w, 1)).astype(np.float32))
     key = jax.random.PRNGKey(1)
 
-    # warmup (compile)
-    sampler(params, images, key).block_until_ready()
+    # warmup (compile); force a real host readback — through the axon tunnel
+    # block_until_ready alone can return optimistically (PERFNOTES.md)
+    float(jnp.sum(sampler(params, images, key)))
 
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(reps):
-        out = sampler(params, images, jax.random.fold_in(key, i))
-    out.block_until_ready()
+        acc += float(jnp.sum(sampler(params, images, jax.random.fold_in(key, i))))
     dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
 
     total_samples = num_images * num_samples * reps
     samples_per_sec = total_samples / dt

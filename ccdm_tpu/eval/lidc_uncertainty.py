@@ -40,23 +40,42 @@ LOGGER = logging.getLogger(__name__)
 
 
 def make_prob_sampler(model: DenoisingModel, num_samples: int,
-                      num_steps: Optional[int] = None, feature_fn=None):
+                      num_steps: Optional[int] = None, feature_fn=None,
+                      mesh=None):
     """Jitted `(params, images [B,H,W,Ci], key) -> probs [B,S,H,W,C]`.
 
     Uses the model's `step_T_sample` mode for the final step; "confidence"
-    yields probability maps (the eval default, `params_eval.yml:4`)."""
+    yields probability maps (the eval default, `params_eval.yml:4`).
+
+    With `mesh`, the B*S generation batch is sharded over the 'data' axis and
+    params follow the TP layout rule — multi-chip inference with the same
+    call signature (collectives emitted by XLA).
+    """
     cfg = SamplerConfig(num_steps=num_steps or model.time_steps,
                         step_T_sample=model.step_T_sample)
     c = model.diffusion.num_classes
 
     def run(params, images, key):
         b, h, w, _ = images.shape
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            images = jax.lax.with_sharding_constraint(
+                images, NamedSharding(mesh, P()))
         cond = jnp.repeat(images, num_samples, axis=0)
         fc = None
         if feature_fn is not None:
             fc = jnp.repeat(feature_fn(images), num_samples, axis=0)
         k_prior, k_chain = jax.random.split(key)
         xt = sample_prior(k_prior, b * num_samples, h, w, c)
+        if mesh is not None:
+            from ccdm_tpu.parallel.mesh import batch_sharding
+
+            sh = batch_sharding(mesh)
+            cond = jax.lax.with_sharding_constraint(cond, sh)
+            xt = jax.lax.with_sharding_constraint(xt, sh)
+            if fc is not None:
+                fc = jax.lax.with_sharding_constraint(fc, sh)
         out = ancestral_sampler(
             model.diffusion, model.denoise_fn(params, cond, fc), xt, k_chain, cfg)
         return out.reshape(b, num_samples, h, w, c)
