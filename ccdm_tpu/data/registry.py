@@ -14,9 +14,13 @@ import importlib
 
 _ALIASES = {
     "datasets.lidc": "ccdm_tpu.data.lidc",
+    # the reference encodes the speed benchmark in the dataset name
+    # (`ddpm_eval.py:39-41`); the data module is plain LIDC
+    "datasets.lidc_sampling_speed": "ccdm_tpu.data.lidc",
     "datasets.lidc_orig": "ccdm_tpu.data.lidc_orig",
     "datasets.cityscapes": "ccdm_tpu.data.cityscapes",
     "datasets.synthetic": "ccdm_tpu.data.synthetic",
+    "ccdm_tpu.data.synthetic_sampling_speed": "ccdm_tpu.data.synthetic",
 }
 
 

@@ -105,9 +105,13 @@ class TrainingRun:
         n_dev = len(jax.devices())
         model_par = int(mesh_cfg.get("model", 1))
         data_par = int(mesh_cfg.get("data", n_dev // model_par))
+        batch = int(params["batch_size"])
+        while data_par > 1 and batch % data_par:
+            data_par -= 1  # largest data-parallel degree dividing the batch
         self.mesh = make_mesh(MeshConfig(data=data_par, model=model_par),
                               devices=jax.devices()[: data_par * model_par])
-        LOGGER.info("mesh: data=%d model=%d (%d devices)", data_par, model_par, n_dev)
+        LOGGER.info("mesh: data=%d model=%d (%d devices visible)",
+                    data_par, model_par, n_dev)
 
         # DINO feature conditioning (parity: `_build_feature_cond_encoder`,
         # `condition_encoder.py:56-82`; frozen unless `train: yes`, which is
@@ -280,7 +284,12 @@ class TrainingRun:
             # max_steps drives the loop (smoke tests, benchmarks)
             if max_steps is None and epoch >= max_epochs:
                 break
-            it = device_prefetch(self.loader.epoch(epoch), self.batch_sh)
+            raw_it = self.loader.epoch(epoch)
+            # keep only the tensors the jitted step consumes (datasets may
+            # attach extra eval-only keys like 'label'/'original_labels')
+            step_keys = ("image", "x0", "feature_condition")
+            filtered = ({k: b[k] for k in step_keys if k in b} for b in raw_it)
+            it = device_prefetch(filtered, self.batch_sh)
             for batch in it:
                 if profile_from and not profiling and total == 10:
                     jax.profiler.start_trace(os.path.join(self.output_path, "profile"))
