@@ -37,7 +37,7 @@ def main():
     params = with_defaults(load_params(args.params_file))
     dataset_file = params["dataset_file"]
 
-    if "lidc_sampling_speed" in dataset_file:
+    if "_sampling_speed" in dataset_file:
         from ccdm_tpu.eval.lidc_sampling_speed import eval_lidc_sampling_speed
 
         params = dict(params, dataset_file=dataset_file.replace("_sampling_speed", ""))
