@@ -57,6 +57,16 @@ from ccdm_tpu.utils.visualize import prediction_grid, save_grid
 LOGGER = logging.getLogger(__name__)
 
 
+def _device_memory_gb() -> float:
+    """HBM bytes in use on device 0 (parity role: ignite `GpuInfo`,
+    `trainer.py:390`). 0.0 when the backend exposes no stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return stats.get("bytes_in_use", 0) / 1e9
+    except Exception:
+        return 0.0
+
+
 def _class_weights(params: Dict[str, Any], dataset_module, num_classes: int) -> jnp.ndarray:
     if hasattr(dataset_module, "get_weights"):
         w = np.asarray(dataset_module.get_weights(), dtype=np.float32)
@@ -311,11 +321,13 @@ class TrainingRun:
                     lr = float(metrics.get("lr", 0.0))
                     dt = time.perf_counter() - window_t0
                     speed = window_items / max(dt, 1e-9)
+                    hbm_gb = _device_memory_gb()
                     LOGGER.info(
-                        "epoch=%d, iter=%d, speed=%.2f img/s, loss=%.4g, lr=%.6g",
-                        epoch, step, speed, loss, lr)
+                        "epoch=%d, iter=%d, speed=%.2f img/s, loss=%.4g, lr=%.6g, hbm=%.2fGB",
+                        epoch, step, speed, loss, lr, hbm_gb)
                     self.metrics.log(step, {"loss": loss, "lr": lr,
-                                            "imgs_per_sec": speed}, tag="train")
+                                            "imgs_per_sec": speed,
+                                            "hbm_gb": hbm_gb}, tag="train")
                     window_items, window_t0 = 0, time.perf_counter()
                 else:
                     drain()

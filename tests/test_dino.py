@@ -59,6 +59,44 @@ def test_feature_encoder_protocol():
     assert all(float(jnp.abs(g).max()) == 0.0 for g in jax.tree.leaves(grads))
 
 
+def test_dino_conditioned_train_step():
+    """Full jitted train step with a frozen feature encoder in-graph."""
+    import optax
+
+    from ccdm_tpu.models.builder import build_model
+    from ccdm_tpu.train.state import create_train_state
+    from ccdm_tpu.train.step import make_train_step
+
+    enc = DinoViT(embed_dim=16, depth=2, num_heads=2, patch_size=8, stride=8,
+                  source_layer=1)
+    enc_params = enc.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 32, 32, 3)))["params"]
+
+    def feature_fn(images):
+        return jax.lax.stop_gradient(enc.apply({"params": enc_params}, images))
+
+    cfg = {
+        "beta_schedule": "cosine", "time_steps": 4, "compute_dtype": "float32",
+        "feature_cond_encoder": {"type": "dino", "target_layer": 3,
+                                 "output_stride": 8, "channels": 16},
+        "unet_openai": {"base_channels": 8, "image_size": 32,
+                        "channel_mult": [1, 2], "attention_resolutions": [],
+                        "num_head_channels": 4},
+    }
+    model = build_model(cfg, num_classes=2, image_channels=3)
+    params = model.init(jax.random.PRNGKey(1), (32, 32, 3),
+                        feature_shape=(4, 4, 16))
+    state = create_train_state(params, optax.adam(1e-3), polyak_alpha=0.9)
+    step = jax.jit(make_train_step(model, jnp.ones((2,)), feature_fn=feature_fn))
+    batch = {
+        "image": jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3)),
+        "x0": jax.nn.one_hot(jax.random.randint(jax.random.PRNGKey(3), (2, 32, 32), 0, 2), 2),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["loss"]))
+    assert not bool(metrics["invalid"])
+
+
 def test_dino_conditioned_unet_forward():
     """UNet consumes a DINO feature map at block 10 / stride 8."""
     from ccdm_tpu.models.unet import create_unet
