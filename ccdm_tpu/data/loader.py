@@ -16,7 +16,7 @@ with an explicit, seeded, shardable iterator:
 from __future__ import annotations
 
 import collections
-from typing import Callable, Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 import numpy as np

@@ -8,8 +8,6 @@ of [condition | ground truth | N sampled segmentations]. Pure NumPy/PIL.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 from PIL import Image
 

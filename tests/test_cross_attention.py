@@ -1,5 +1,4 @@
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ccdm_tpu.models.cross_attention import SpatialTransformer

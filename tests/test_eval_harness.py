@@ -1,6 +1,5 @@
 """Eval-harness tests on synthetic data with a tiny model."""
 
-import numpy as np
 import pytest
 
 

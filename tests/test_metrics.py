@@ -2,7 +2,6 @@
 (ddpm/utils.py:129-175) from its published formulas."""
 
 import numpy as np
-import pytest
 
 from ccdm_tpu.eval.metrics import (
     ConfusionMatrix,

@@ -1,7 +1,6 @@
 """Native C++ scoring kernels vs NumPy oracles."""
 
 import numpy as np
-import pytest
 
 from ccdm_tpu import native
 

@@ -3,7 +3,6 @@ produce bitwise-identical results to single-device execution (JAX RNG is
 value-deterministic, independent of layout)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ccdm_tpu.eval.lidc_uncertainty import make_prob_sampler
