@@ -273,6 +273,9 @@ class TrainingRun:
         profiling = False
 
         pending = collections.deque()  # (step, metrics) futures
+        # recent batches for the debug dump (parity: the reference saves the
+        # offending batch tensors via WithStateDict, trainer.py:295-306)
+        recent_batches = collections.deque(maxlen=4)
         window_items = 0
         window_t0 = time.perf_counter()
 
@@ -282,7 +285,9 @@ class TrainingRun:
                 s, m = pending.popleft()
                 if bool(m["invalid"]):
                     LOGGER.error("invalid loss at step %d — saving debug state", s)
-                    self.checkpoints.save_debug(self.state)
+                    extras = dict(next((b for bs, b in recent_batches if bs == s), {}))
+                    extras["loss"] = m["loss"]
+                    self.checkpoints.save_debug(self.state, extras)
                     raise ValueError(f"Invalid loss (nan/inf/neg-KL) at step {s}")
 
         step0 = int(self.state.step)
@@ -306,6 +311,7 @@ class TrainingRun:
                     profiling = True
                 self.state, metrics = self.jit_step(self.state, batch, self.rng)
                 pending.append((step0 + total + 1, metrics))
+                recent_batches.append((step0 + total + 1, batch))
                 total += 1
                 if profiling and total >= 10 + profile_from:
                     jax.tree.leaves(metrics)[0].block_until_ready()
