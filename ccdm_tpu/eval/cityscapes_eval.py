@@ -66,9 +66,11 @@ class CityscapesEvaluator:
         image_shape = first["image"].shape
         p = dict(self.params)
         p["step_T_sample"] = self.vote_strategy
+        # image_size = min(H, W) selects the channel_mult table
+        # (parity: `ddpm/models/builder.py:36`)
         self.model = build_model(p, self.num_classes,
                                  image_channels=image_shape[-1],
-                                 image_size=max(image_shape[:2]))
+                                 image_size=min(image_shape[:2]))
         self.model_params = load_eval_params(self.params, self.model, image_shape)
         self.sampler = make_prob_sampler(self.model, self.num_evaluations)
 

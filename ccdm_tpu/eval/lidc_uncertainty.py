@@ -114,7 +114,7 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
     first = dataset.get(0)
     image_shape = first["image"].shape
     model = build_model(params, num_classes, image_channels=image_shape[-1],
-                        image_size=image_shape[0])
+                        image_size=min(image_shape[:2]))  # builder.py:36 parity
     if model_params is None:
         model_params = load_eval_params(params, model, image_shape)
 

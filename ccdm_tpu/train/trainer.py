@@ -148,9 +148,11 @@ class TrainingRun:
             LOGGER.info("DINO feature conditioning: %s stride=%d ch=%d",
                         encoder.name, encoder.stride, encoder.channels)
 
+        # image_size = min(H, W) selects the channel_mult table
+        # (parity: `ddpm/models/builder.py:36`)
         self.model: DenoisingModel = build_model(
             params, self.num_classes, image_channels=image_shape[-1],
-            image_size=image_shape[0])
+            image_size=min(image_shape[:2]))
         init_params = self.model.init(
             jax.random.PRNGKey(int(params.get("seed", 0))), image_shape,
             feature_shape=feature_shape)
