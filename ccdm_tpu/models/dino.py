@@ -149,7 +149,8 @@ class DinoFeatureEncoder:
 
     def __init__(self, fce_params: dict):
         name = fce_params.get("model", "dino_vits8")
-        cfg = VIT_CONFIGS[name]
+        # `vit_config` overrides the named architecture (tiny test encoders)
+        cfg = fce_params.get("vit_config") or VIT_CONFIGS[name]
         self.name = name
         self.stride = int(fce_params.get("output_stride", 8))
         self.module = DinoViT(

@@ -27,13 +27,25 @@ import orbax.checkpoint as ocp
 LOGGER = logging.getLogger(__name__)
 
 
+def _is_composite(params) -> bool:
+    """Trainable-encoder runs hold `{"unet", "encoder"}` param trees."""
+    return isinstance(params, dict) and set(params.keys()) == {"unet", "encoder"}
+
+
 def _tree_of(state) -> Dict[str, Any]:
-    return {
-        "model": state.params,
-        "average_model": state.ema_params,
-        "opt_state": state.opt_state,
-        "step": state.step,
-    }
+    """Checkpoint schema (parity: `Trainer.objects_to_save`, `trainer.py:357-376`):
+    `model`/`average_model` hold the UNet; a trainable feature encoder is
+    stored under `feature_cond_encoder`/`average_feature_cond_encoder`."""
+    tree: Dict[str, Any] = {"opt_state": state.opt_state, "step": state.step}
+    if _is_composite(state.params):
+        tree["model"] = state.params["unet"]
+        tree["feature_cond_encoder"] = state.params["encoder"]
+        tree["average_model"] = state.ema_params["unet"]
+        tree["average_feature_cond_encoder"] = state.ema_params["encoder"]
+    else:
+        tree["model"] = state.params
+        tree["average_model"] = state.ema_params
+    return tree
 
 
 class CheckpointManagers:
@@ -115,9 +127,17 @@ def load_checkpoint(path: str, state, step: Optional[int] = None):
         raise FileNotFoundError(f"no checkpoint steps under {path!r}")
     template = jax.tree.map(np.asarray, _tree_of(state))
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    if _is_composite(state.params):
+        params = {"unet": restored["model"],
+                  "encoder": restored["feature_cond_encoder"]}
+        ema = {"unet": restored["average_model"],
+               "encoder": restored["average_feature_cond_encoder"]}
+    else:
+        params = restored["model"]
+        ema = restored["average_model"]
     return state.replace(
-        params=restored["model"],
-        ema_params=restored["average_model"],
+        params=params,
+        ema_params=ema,
         opt_state=restored["opt_state"],
         step=restored["step"],
     )

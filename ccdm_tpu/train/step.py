@@ -85,18 +85,30 @@ def make_train_step(
     class_weights: jnp.ndarray,
     lr_schedule: Optional[Callable] = None,
     feature_fn: Optional[Callable] = None,
+    encoder_apply: Optional[Callable] = None,
 ) -> Callable:
     """Build the (un-jitted) train step `(state, batch, rng) -> (state, metrics)`.
 
     Jit it with donated state and sharded batch; XLA emits the gradient
     all-reduce over the 'data' mesh axis and any TP collectives implied by
     the parameter shardings.
+
+    Two conditioning modes (parity: `condition_encoder.py:36-38`,
+    `optimizer.py:13-14`, `trainer.py:712`):
+    - `feature_fn(images)`: FROZEN encoder; weights are closed-over constants.
+    - `encoder_apply(enc_params, images)`: TRAINABLE encoder; `state.params`
+      must be `{"unet": ..., "encoder": ...}` — the encoder is optimised
+      jointly and the tree-wide EMA doubles as the encoder Polyak pair.
     """
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            if encoder_apply is not None:
+                fc = encoder_apply(params["encoder"], batch["image"])
+                return train_loss(model, params["unet"], batch, step_rng,
+                                  class_weights, fc)
             return train_loss(model, params, batch, step_rng, class_weights,
                               batch.get("feature_condition"), feature_fn)
 

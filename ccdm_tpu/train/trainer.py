@@ -124,16 +124,19 @@ class TrainingRun:
                     data_par, model_par, n_dev)
 
         # DINO feature conditioning (parity: `_build_feature_cond_encoder`,
-        # `condition_encoder.py:56-82`; frozen unless `train: yes`, which is
-        # not yet supported here — weights are constants in the jitted step)
+        # `condition_encoder.py:56-82`). Frozen (`train: no`): weights are
+        # closed-over constants. Trainable (`train: yes`): encoder params join
+        # the TrainState under {"unet","encoder"} — jointly optimised
+        # (`optimizer.py:13-14`) with the tree-wide EMA acting as the encoder
+        # Polyak pair (`trainer.py:712`).
         fce = params.get("feature_cond_encoder") or {"type": "none"}
         self.feature_fn = None
+        self.encoder_apply = None
+        enc_params = None
         feature_shape = None
         if fce.get("type") == "dino":
             from ccdm_tpu.models.dino import DinoFeatureEncoder
 
-            if fce.get("train"):
-                raise NotImplementedError("trainable DINO encoder not supported yet")
             encoder = DinoFeatureEncoder(fce)
             enc_params = encoder.init(jax.random.PRNGKey(7), image_shape)
             weights = fce.get("weights")
@@ -142,11 +145,15 @@ class TrainingRun:
             else:
                 LOGGER.warning("DINO conditioning with RANDOM weights — provide "
                                "feature_cond_encoder.weights (converted .npz)")
-            self.feature_fn = lambda img: encoder(enc_params, img)
+            if encoder.trainable:
+                self.encoder_apply = lambda p, img: encoder(p, img)
+            else:
+                self.feature_fn = lambda img: encoder(enc_params, img)
             feature_shape = (image_shape[0] // encoder.stride,
                              image_shape[1] // encoder.stride, encoder.channels)
-            LOGGER.info("DINO feature conditioning: %s stride=%d ch=%d",
-                        encoder.name, encoder.stride, encoder.channels)
+            LOGGER.info("DINO feature conditioning: %s stride=%d ch=%d train=%s",
+                        encoder.name, encoder.stride, encoder.channels,
+                        encoder.trainable)
 
         # image_size = min(H, W) selects the channel_mult table
         # (parity: `ddpm/models/builder.py:36`)
@@ -156,6 +163,8 @@ class TrainingRun:
         init_params = self.model.init(
             jax.random.PRNGKey(int(params.get("seed", 0))), image_shape,
             feature_shape=feature_shape)
+        if self.encoder_apply is not None:
+            init_params = {"unet": init_params, "encoder": enc_params}
         n_params = sum(p.size for p in jax.tree.leaves(init_params))
         LOGGER.info("UNet parameters: %.3fM", n_params / 1e6)
 
@@ -179,7 +188,8 @@ class TrainingRun:
 
         class_weights = _class_weights(params, self.module, self.num_classes)
         step_fn = make_train_step(self.model, class_weights, self.lr_schedule,
-                                  feature_fn=self.feature_fn)
+                                  feature_fn=self.feature_fn,
+                                  encoder_apply=self.encoder_apply)
         sh = state_shardings(self.state, self.mesh)
         self.batch_sh = batch_sharding(self.mesh)
         self.rep = replicated(self.mesh)
@@ -196,6 +206,23 @@ class TrainingRun:
 
     # ---- validation ------------------------------------------------------
 
+    def _val_feature_fn(self):
+        """Feature fn for eval: the EMA (average) encoder when trainable
+        (parity: `predict` uses average_feature_cond_encoder,
+        `trainer.py:350-352`)."""
+        if self.encoder_apply is not None:
+            enc_ema = self.ema_unwrap()["encoder"]
+            return lambda img: self.encoder_apply(enc_ema, img)
+        return self.feature_fn
+
+    def ema_unwrap(self):
+        return self.state.ema_params
+
+    def ema_unet(self):
+        """EMA UNet params regardless of conditioning mode."""
+        ema = self.state.ema_params
+        return ema["unet"] if self.encoder_apply is not None else ema
+
     def validate(self) -> Dict[str, float]:
         params = self.params
         metrics: Dict[str, float] = {}
@@ -203,10 +230,10 @@ class TrainingRun:
             num_samples = int(params.get("samples", 12))
             val_bs = max(1, self.batch_size // num_samples)
             ged, div, hmiou = compute_ged(
-                self.model, self.state.ema_params, self.val_ds, num_samples,
+                self.model, self.ema_unet(), self.val_ds, num_samples,
                 val_bs, jax.random.fold_in(self.rng, int(self.state.step)),
                 max_batches=int(params.get("validation_max_batches", 0)) or None,
-                feature_fn=self.feature_fn)
+                feature_fn=self._val_feature_fn())
             LOGGER.info("mean GED %.3f, mean diversity %.3f, HM-IoU %.3f", ged, div, hmiou)
             metrics.update(GED=ged, diversity=div, HMIoU=hmiou)
             if self.is_main:
@@ -225,7 +252,8 @@ class TrainingRun:
     def validate_miou(self, max_images: Optional[int] = 16) -> float:
         """Full-sampler prediction -> confusion-matrix mIoU (parity:
         `test_step` + ignite CM, `trainer.py:329-342,398-407`)."""
-        sampler = make_batched_sampler(self.model, num_samples=1, feature_fn=self.feature_fn)
+        sampler = make_batched_sampler(self.model, num_samples=1,
+                                       feature_fn=self._val_feature_fn())
         cm = ConfusionMatrix(self.num_classes, self.ignore_class)
         n = min(len(self.val_ds), max_images or len(self.val_ds))
         bs = max(1, self.batch_size // 4)
@@ -236,7 +264,7 @@ class TrainingRun:
                 true = np.argmax(np.stack([s["labels"][0] for s in samples]), -1)
             else:
                 true = np.stack([s["label"] for s in samples])
-            preds = sampler(self.state.ema_params, jnp.asarray(images),
+            preds = sampler(self.ema_unet(), jnp.asarray(images),
                             jax.random.fold_in(self.rng, start))
             cm.update(np.asarray(preds)[:, 0], true)
         return cm.miou()
@@ -255,8 +283,9 @@ class TrainingRun:
             labels = np.argmax(np.stack([s["labels"][0] for s in samples]), -1)
         else:
             labels = np.stack([s["label"] for s in samples])
-        sampler = make_batched_sampler(self.model, num_samples=num_predictions, feature_fn=self.feature_fn)
-        preds = np.asarray(sampler(self.state.ema_params, jnp.asarray(images),
+        sampler = make_batched_sampler(self.model, num_samples=num_predictions,
+                                       feature_fn=self._val_feature_fn())
+        preds = np.asarray(sampler(self.ema_unet(), jnp.asarray(images),
                                    jax.random.fold_in(self.rng, 123)))
         grid = prediction_grid(images, labels, preds, self.num_classes)
         path = os.path.join(self.output_path, f"images_{int(self.state.step):06d}.png")
