@@ -62,6 +62,8 @@ class CityscapesEvaluator:
         self.gt_files: list = []
 
     def build(self, dataset):
+        from ccdm_tpu.eval.lidc_uncertainty import build_eval_feature_fn
+
         first = dataset.get(0, np.random.default_rng(0))
         image_shape = first["image"].shape
         p = dict(self.params)
@@ -71,8 +73,11 @@ class CityscapesEvaluator:
         self.model = build_model(p, self.num_classes,
                                  image_channels=image_shape[-1],
                                  image_size=min(image_shape[:2]))
-        self.model_params = load_eval_params(self.params, self.model, image_shape)
-        self.sampler = make_prob_sampler(self.model, self.num_evaluations)
+        feature_fn, feature_shape = build_eval_feature_fn(self.params, image_shape)
+        self.model_params = load_eval_params(self.params, self.model, image_shape,
+                                             feature_shape)
+        self.sampler = make_prob_sampler(self.model, self.num_evaluations,
+                                         feature_fn=feature_fn)
 
     def predict_batch(self, images: np.ndarray, key) -> jnp.ndarray:
         """[B,H,W,3] -> averaged probability maps [B,H,W,C] (confidence vote)."""

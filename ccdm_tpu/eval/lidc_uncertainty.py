@@ -83,10 +83,12 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
     return jax.jit(run)
 
 
-def load_eval_params(params: Dict[str, Any], model: DenoisingModel, image_shape):
+def load_eval_params(params: Dict[str, Any], model: DenoisingModel, image_shape,
+                     feature_shape=None):
     """EMA weights from `load_from`, or fresh init if absent (smoke paths)."""
     load_from = params.get("load_from")
-    init = model.init(jax.random.PRNGKey(int(params.get("seed", 0))), image_shape)
+    init = model.init(jax.random.PRNGKey(int(params.get("seed", 0))), image_shape,
+                      feature_shape=feature_shape)
     if not load_from:
         LOGGER.warning("no load_from given — evaluating randomly initialised weights")
         return init
@@ -95,6 +97,45 @@ def load_eval_params(params: Dict[str, Any], model: DenoisingModel, image_shape)
     if restored is None:
         raise KeyError(f"checkpoint at {load_from!r} has no average_model/model key")
     return jax.tree.map(lambda t, i: jnp.asarray(t, i.dtype), restored, init)
+
+
+def build_eval_feature_fn(params: Dict[str, Any], image_shape):
+    """Eval-time DINO conditioning: `(feature_fn or None, feature_shape or None)`.
+
+    Encoder weights resolve in the reference's fallback order
+    (`eval_cdm.py:131-144`): checkpoint `average_feature_cond_encoder`, then
+    `feature_cond_encoder`, then the converted-npz `weights:` file, else the
+    random init (with a warning).
+    """
+    fce = params.get("feature_cond_encoder") or {"type": "none"}
+    if fce.get("type") != "dino":
+        return None, None
+    from ccdm_tpu.models.dino import DinoFeatureEncoder
+
+    encoder = DinoFeatureEncoder(fce)
+    enc_params = encoder.init(jax.random.PRNGKey(7), image_shape)
+    loaded = False
+    load_from = params.get("load_from")
+    if load_from:
+        try:
+            tree = load_tree(load_from)
+            for key in ("average_feature_cond_encoder", "feature_cond_encoder"):
+                if key in tree:
+                    enc_params = jax.tree.map(
+                        lambda t, i: jnp.asarray(t, i.dtype), tree[key], enc_params)
+                    loaded = True
+                    LOGGER.info("loaded encoder weights from checkpoint key %r", key)
+                    break
+        except FileNotFoundError:
+            pass
+    if not loaded and fce.get("weights"):
+        enc_params = encoder.load_pretrained(fce["weights"], enc_params)
+        loaded = True
+    if not loaded:
+        LOGGER.warning("DINO eval conditioning with RANDOM encoder weights")
+    feature_shape = (image_shape[0] // encoder.stride,
+                     image_shape[1] // encoder.stride, encoder.channels)
+    return (lambda img: encoder(enc_params, img)), feature_shape
 
 
 def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = None,
@@ -115,10 +156,11 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
     image_shape = first["image"].shape
     model = build_model(params, num_classes, image_channels=image_shape[-1],
                         image_size=min(image_shape[:2]))  # builder.py:36 parity
+    feature_fn, feature_shape = build_eval_feature_fn(params, image_shape)
     if model_params is None:
-        model_params = load_eval_params(params, model, image_shape)
+        model_params = load_eval_params(params, model, image_shape, feature_shape)
 
-    sampler = make_prob_sampler(model, max_samples, num_steps)
+    sampler = make_prob_sampler(model, max_samples, num_steps, feature_fn)
     batch_size = max(1, int(params.get("batch_size", 2)))
     key = jax.random.PRNGKey(int(params.get("seed", 0)))
 

@@ -101,3 +101,16 @@ def test_trainable_encoder_updates_and_checkpoints(fake_cityscapes, tmp_path, mo
     assert int(run2.state.step) == 2
     state2 = run2.run(max_steps=1)
     assert int(state2.step) == 3
+
+    # eval side: cityscapes inference loads the EMA encoder from the
+    # checkpoint (fallback chain, eval_cdm.py:131-144 parity)
+    from ccdm_tpu.eval.cityscapes_eval import run_inference
+
+    eval_params = dict(PARAMS,
+                       output_path=str(tmp_path / "enc_eval"),
+                       load_from=str(tmp_path / "enc_run"),
+                       batch_size=2,
+                       evaluation={"resolution": "dataloader", "evaluations": 1,
+                                   "evaluation_vote_strategy": "confidence"})
+    res = run_inference(eval_params)
+    assert res["images"] == 2
