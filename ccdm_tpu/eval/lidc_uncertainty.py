@@ -208,6 +208,9 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
                     cm.update(mean_pred[b], refs[b, a])
         count += len(samples)
 
+    if count == 0:
+        raise ValueError(
+            f"test dataset ({n} images) smaller than batch_size {batch_size}")
     results: Dict[str, Any] = {
         "count": count,
         "nonzero_fraction": nonzero_total / max(count * labels.shape[1], 1),
