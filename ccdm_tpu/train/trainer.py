@@ -199,6 +199,22 @@ class TrainingRun:
             out_shardings=(sh, self.rep),
             donate_argnums=0,
         )
+        # multi-step launches: K train steps per dispatch (identical
+        # trajectory to K single launches; amortises host/tunnel latency)
+        self.steps_per_launch = max(1, int(params.get("steps_per_launch", 1)))
+        if self.steps_per_launch > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ccdm_tpu.train.step import make_multi_step
+
+            stacked_sh = NamedSharding(self.mesh, P(None, "data"))
+            self.stacked_sh = stacked_sh
+            self.jit_multi_step = jax.jit(
+                make_multi_step(step_fn),
+                in_shardings=(sh, {"image": stacked_sh, "x0": stacked_sh}, self.rep),
+                out_shardings=(sh, self.rep),
+                donate_argnums=0,
+            )
         self.rng = jax.device_put(
             jax.random.PRNGKey(int(params.get("seed", 0)) + 1), self.rep)
         self.steps_per_epoch = steps_per_epoch
@@ -335,24 +351,43 @@ class TrainingRun:
             # attach extra eval-only keys like 'label'/'original_labels')
             step_keys = ("image", "x0", "feature_condition")
             filtered = ({k: b[k] for k in step_keys if k in b} for b in raw_it)
-            it = device_prefetch(filtered, self.batch_sh)
+            k_launch = self.steps_per_launch
+            if k_launch > 1:
+                def grouped(src):
+                    group = []
+                    for b in src:
+                        group.append(b)
+                        if len(group) == k_launch:
+                            yield {key: np.stack([g[key] for g in group])
+                                   for key in group[0]}
+                            group = []
+                it = device_prefetch(grouped(filtered), self.stacked_sh)
+            else:
+                it = device_prefetch(filtered, self.batch_sh)
             for batch in it:
                 if profile_from and not profiling and total == 10:
                     jax.profiler.start_trace(os.path.join(self.output_path, "profile"))
                     profiling = True
-                self.state, metrics = self.jit_step(self.state, batch, self.rng)
-                pending.append((step0 + total + 1, metrics))
-                recent_batches.append((step0 + total + 1, batch))
-                total += 1
+                if k_launch > 1:
+                    self.state, metrics = self.jit_multi_step(self.state, batch, self.rng)
+                else:
+                    self.state, metrics = self.jit_step(self.state, batch, self.rng)
+                pending.append((step0 + total + k_launch, metrics))
+                recent_batches.append((step0 + total + k_launch, batch))
+                total += k_launch
                 if profiling and total >= 10 + profile_from:
                     jax.tree.leaves(metrics)[0].block_until_ready()
                     jax.profiler.stop_trace()
                     profiling = False
                     LOGGER.info("profiler trace written to %s/profile", self.output_path)
-                window_items += self.batch_size
+                window_items += self.batch_size * k_launch
                 step = step0 + total
+                prev = step - k_launch
 
-                if step % display_freq == 0:
+                def crossed(freq):
+                    return (prev // freq) != (step // freq)
+
+                if crossed(display_freq):
                     drain(block_all=True)
                     loss = float(metrics["loss"])
                     lr = float(metrics.get("lr", 0.0))
@@ -369,10 +404,10 @@ class TrainingRun:
                 else:
                     drain()
 
-                if self.is_main and step % save_freq == 0:
+                if self.is_main and crossed(save_freq):
                     drain(block_all=True)
                     self.checkpoints.save_periodic(self.state)
-                if step % validation_freq == 0:
+                if crossed(validation_freq):
                     drain(block_all=True)
                     self.validate()
                     if self.is_main:
