@@ -78,10 +78,19 @@ def _flash_bh(qh, kh, vh, block_q: int, interpret: bool):
     )(qh, kh, vh)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
-    """Self-attention `[B, T, H, dh] -> [B, T, H, dh]` without the T x T HBM tensor."""
+    """Self-attention `[B, T, H, dh] -> [B, T, H, dh]` without the T x T HBM tensor.
+
+    Differentiable: the custom VJP computes the standard attention backward
+    in XLA (materialising T x T only inside the backward pass — training
+    keeps working; the memory saving applies to the forward/inference path).
+    """
+    return _flash_fwd_impl(q, k, v, block_q, interpret)
+
+
+def _flash_fwd_impl(q, k, v, block_q, interpret):
     b, t, h, dh = q.shape
 
     def to_bh(x):
@@ -101,6 +110,34 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if pad_q:
         out = out[:, :t]
     return out.reshape(b, h, t, dh).transpose(0, 2, 1, 3)
+
+
+def _flash_vjp_fwd(q, k, v, block_q, interpret):
+    return _flash_fwd_impl(q, k, v, block_q, interpret), (q, k, v)
+
+
+def _flash_vjp_bwd(block_q, interpret, residuals, g):
+    """Standard attention backward (XLA): with A = softmax(s·q·kᵀ),
+    dV = Aᵀ·g, dS = A ⊙ (g·vᵀ − rowsum(A ⊙ g·vᵀ)), dQ = s·dS·k, dK = s·dSᵀ·q."""
+    q, k, v = residuals
+    dh = q.shape[-1]
+    s = 1.0 / math.sqrt(dh)  # combined scale of the two 1/sqrt(sqrt(dh)) factors
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * s
+    a = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dv = jnp.einsum("bhts,bthd->bshd", a, gf, preferred_element_type=jnp.float32)
+    da = jnp.einsum("bthd,bshd->bhts", gf, vf, preferred_element_type=jnp.float32)
+    ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhts,bshd->bthd", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * s
+    dk = jnp.einsum("bhts,bthd->bshd", ds, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * s
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 def dense_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

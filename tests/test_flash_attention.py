@@ -36,6 +36,27 @@ def test_flash_bf16():
     assert err_flash <= err_dense + 1e-3, (err_flash, err_dense)
 
 
+def test_flash_gradients_match_dense():
+    """custom VJP: grads through flash equal grads through the dense path."""
+    b, t, h, dh = 1, 128, 2, 16
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(keys[0], (b, t, h, dh), jnp.float32)
+    k = jax.random.normal(keys[1], (b, t, h, dh), jnp.float32)
+    v = jax.random.normal(keys[2], (b, t, h, dh), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, 128, True)
+        return jnp.sum(out ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
 def test_attention_block_flash_flag_matches_dense():
     """AttentionBlock with flash forced on equals the dense path."""
     from ccdm_tpu.models.layers import AttentionBlock
