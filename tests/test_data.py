@@ -151,3 +151,39 @@ def test_cityscapes_weights():
     w = get_weights()
     assert w.shape == (20,)
     assert w[19] == 0.0 and w[:19].min() == 1.0
+
+
+def test_random_scale_and_pad():
+    from ccdm_tpu.data.transforms import pad, random_scale
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((20, 30, 3), np.uint8)
+    lbl = np.zeros((20, 30), np.int64)
+    # probability 1: always rescales; target_size pads back up to (32, 40)
+    out_img, out_lbl, _ = random_scale(
+        scale_range=(0.5, 0.6), probability=1.0, target_size=(32, 40),
+        ignore_class=7)(img, lbl, rng, None)
+    assert out_img.shape[0] >= 10 and out_lbl.shape == out_img.shape[:2]
+    # scaled below target then padded back up -> padded label areas = ignore
+    assert out_lbl.shape == (32, 40)
+    assert (out_lbl == 7).any()
+
+    p_img, p_lbl, _ = pad(target_size=(25, 35), ignore_class=9)(img, lbl, rng, None)
+    assert p_img.shape == (25, 35, 3) and p_lbl.shape == (25, 35)
+    assert (p_lbl == 9).sum() == 25 * 35 - 20 * 30
+
+
+def test_random_crop_class_ratio_constraint():
+    from ccdm_tpu.data.transforms import random_crop
+
+    rng = np.random.default_rng(0)
+    # left half class 0, right half class 1; a 8x8 crop satisfying
+    # max_ratio<0.9 must straddle the boundary
+    lbl = np.zeros((16, 32), np.int64)
+    lbl[:, 16:] = 1
+    img = np.zeros((16, 32, 1), np.float32)
+    out_img, out_lbl, _ = random_crop(
+        shape=(8, 8), crop_class_max_ratio=0.9, ignore_class=5)(img, lbl, rng, None)
+    assert out_lbl.shape == (8, 8)
+    classes, counts = np.unique(out_lbl, return_counts=True)
+    assert len(classes) == 2 and counts.max() / counts.sum() < 0.9
