@@ -108,6 +108,15 @@ class CityscapesEvaluator:
         n -= n % batch_size
         rng = np.random.default_rng(0)
         img_cnt = 0
+        # iIoU needs the real gtFine instanceIds PNGs, and is only geometrically
+        # valid when predictions are scored at the original resolution
+        # (cs_eval.py:684-691: instance path = labelIds path substitution)
+        inst_files: Optional[list] = None
+        if self.eval_resolution == "original" and hasattr(dataset, "label_files"):
+            inst_files = [
+                p.replace("labelIds", "instanceIds") if "labelIds" in p else None
+                for p in list(dataset.label_files)[:n]
+            ]
         for start in range(0, n, batch_size):
             samples = [dataset.get(i, rng) for i in range(start, start + batch_size)]
             images = np.stack([s["image"] for s in samples])
@@ -143,7 +152,8 @@ class CityscapesEvaluator:
         # official re-scoring of the saved label-id PNGs (eval_cdm.py:424-432)
         official = score_img_lists(
             self.pred_files, self.gt_files,
-            export_file=os.path.join(self.output_path, "resultPixelLevelSemanticLabeling.json"))
+            export_file=os.path.join(self.output_path, "resultPixelLevelSemanticLabeling.json"),
+            inst_list=inst_files)
         results["official"] = official
         LOGGER.info("mIoU (train-id CM): %.4f | official class mIoU: %.4f",
                     results["mIoU"], official["averageScoreClasses"])

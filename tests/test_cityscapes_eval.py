@@ -60,6 +60,9 @@ def fake_cityscapes(tmp_path):
         ids = rng.choice([7, 8, 11, 26, 0], size=(64, 128)).astype(np.uint8)
         Image.fromarray(img).save(img_dir / f"img{i}_leftImg8bit.png")
         Image.fromarray(ids).save(gt_dir / f"img{i}_gtFine_labelIds.png")
+        inst = ids.astype(np.int32)
+        inst[ids == 26] = 26001  # one car instance per image
+        Image.fromarray(inst, mode="I").save(gt_dir / f"img{i}_gtFine_instanceIds.png")
     return str(tmp_path)
 
 
@@ -121,3 +124,50 @@ def test_run_inference_original_resolution(fake_cityscapes, tmp_path, monkeypatc
     # dumped PNGs are at the ORIGINAL 64x128 resolution
     png = next((tmp_path / "eval_orig" / "submit").glob("*.png"))
     assert Image.open(png).size == (128, 64)
+    # original resolution -> instanceIds found -> iIoU computed
+    assert res["official"]["nbInstanceImages"] == 2
+    assert res["official"]["classInstScores"] is not None
+    assert "car" in res["official"]["classInstScores"]
+
+
+def test_score_instance_iiou_golden(tmp_path):
+    """Instance-weighted iIoU (cs_eval.py:725-762,377-396): weighted tp/fn
+    from per-instance masks, unweighted fp from the confusion matrix."""
+    from ccdm_tpu.eval.cs_scoring import AVG_CLASS_SIZE
+
+    # gt: one 16-px person instance (id 24, instance 24001) on a road scene
+    gt = np.full((16, 16), 7, np.uint8)
+    gt[0:4, 0:4] = 24
+    inst = gt.astype(np.int32).copy()  # crowd/stuff ids == label id (<=1000)
+    inst[0:4, 0:4] = 24001
+    # pred: 12 of the 16 person px correct; 2 road px mislabelled person
+    pred = np.full((16, 16), 7, np.uint8)
+    pred[0:4, 0:3] = 24
+    pred[10, 0:2] = 24
+    gt_p = str(tmp_path / "x_gtFine_labelIds.png")
+    pr_p = str(tmp_path / "x_pred_labelIds.png")
+    _save(gt_p, gt)
+    _save(pr_p, pred)
+    # default path derivation: labelIds -> instanceIds (cs_eval.py:686)
+    Image.fromarray(inst, mode="I").save(tmp_path / "x_gtFine_instanceIds.png")
+
+    res = score_img_lists([pr_p], [gt_p])
+    w = AVG_CLASS_SIZE["person"] / 16.0
+    expect = 12 * w / (12 * w + 4 * w + 2)
+    np.testing.assert_allclose(res["classInstScores"]["person"], expect, rtol=1e-9)
+    # category "human" = {person, rider}: same masks here
+    np.testing.assert_allclose(res["categoryInstScores"]["human"], expect, rtol=1e-9)
+    assert np.isnan(res["classInstScores"]["car"])  # instance class, absent
+    assert np.isnan(res["classInstScores"]["road"])  # stuff class: no iIoU
+    np.testing.assert_allclose(res["averageScoreInstClasses"], expect, rtol=1e-9)
+    assert res["nbInstanceImages"] == 1
+
+
+def test_score_without_instance_files_reports_none(tmp_path):
+    gt = np.full((8, 8), 7, np.uint8)
+    pr_p, gt_p = str(tmp_path / "p.png"), str(tmp_path / "g.png")
+    _save(gt_p, gt)
+    _save(pr_p, gt)
+    res = score_img_lists([pr_p], [gt_p])
+    assert res["averageScoreInstClasses"] is None
+    assert res["classInstScores"] is None
