@@ -9,6 +9,12 @@ with an explicit, seeded, shardable iterator:
   (`trainer.py:647-650`, `utils.py:89-92`)
 - process sharding: each JAX process takes a strided slice of every epoch's
   permutation (one host feeds its local devices; batch is the *global* batch)
+- `num_workers` (the reference's `mp_loaders` DataLoader knob,
+  `trainer.py:668`): batches are built on a thread pool ahead of the
+  consumer. Per-sample augmentation draws come from
+  `default_rng((seed, epoch, index))`, so the data stream is bit-identical
+  for ANY worker count — unlike torch DataLoader, where worker scheduling
+  changes the stream
 - `device_prefetch`: keeps `buffer_size` batches in flight on device so host
   augmentation overlaps with TPU compute (double buffering by default)
 """
@@ -16,6 +22,7 @@ with an explicit, seeded, shardable iterator:
 from __future__ import annotations
 
 import collections
+import concurrent.futures
 from typing import Dict, Iterator
 
 import jax
@@ -37,6 +44,7 @@ class EpochLoader:
         drop_last: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        num_workers: int = 0,
     ):
         if batch_size % process_count:
             raise ValueError(f"global batch {batch_size} not divisible by {process_count} processes")
@@ -48,6 +56,7 @@ class EpochLoader:
         self.drop_last = drop_last
         self.process_index = process_index
         self.process_count = process_count
+        self.num_workers = num_workers
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -55,16 +64,41 @@ class EpochLoader:
             n += 1
         return n
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def _load_batch(self, idx: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
+        # per-sample generator keyed by (seed, epoch, index): the augmentation
+        # stream is independent of batching order and worker count
+        samples = [
+            self.dataset.get(int(i), np.random.default_rng((self.seed, epoch, int(i))))
+            for i in idx
+        ]
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    def _batch_indices(self, epoch: int):
         rng = np.random.default_rng((self.seed, epoch))
         order = rng.permutation(len(self.dataset)) if self.shuffle else np.arange(len(self.dataset))
         order = order[self.process_index::self.process_count]
         nb = len(order) // self.local_batch
         rem = len(order) % self.local_batch
-        for b in range(nb + (0 if self.drop_last or rem == 0 else 1)):
-            idx = order[b * self.local_batch:(b + 1) * self.local_batch]
-            samples = [self.dataset.get(int(i), rng) for i in idx]
-            yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        return [order[b * self.local_batch:(b + 1) * self.local_batch]
+                for b in range(nb + (0 if self.drop_last or rem == 0 else 1))]
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batch_indices(epoch)
+        if self.num_workers <= 0:
+            for idx in batches:
+                yield self._load_batch(idx, epoch)
+            return
+        # thread pool with a bounded look-ahead window: host augmentation for
+        # batch N+1..N+W proceeds while the device consumes batch N
+        with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+            pending = collections.deque()
+            it = iter(batches)
+            for idx in it:
+                pending.append(pool.submit(self._load_batch, idx, epoch))
+                if len(pending) > self.num_workers:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
 
 
 def device_prefetch(it: Iterator, sharding=None, buffer_size: int = 2) -> Iterator:

@@ -82,7 +82,16 @@ class CheckpointManagers:
         mgr = ocp.CheckpointManager(os.path.join(self.output_path, "debug_state"))
         mgr.save(int(state.step), args=ocp.args.StandardSave(tree))
         mgr.wait_until_finished()
+        mgr.close()
         LOGGER.error("debug state saved to %s/debug_state", self.output_path)
+
+    def close(self):
+        """Drain async saves and release manager resources. Skipping this can
+        leave Orbax's metadata writer racing interpreter shutdown."""
+        self.wait()
+        self.periodic.close()
+        for m in self.best.values():
+            m.close()
 
     def wait(self):
         self.periodic.wait_until_finished()

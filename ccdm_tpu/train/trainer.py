@@ -171,7 +171,8 @@ class TrainingRun:
         self.batch_size = int(params["batch_size"])
         self.loader = EpochLoader(
             self.train_ds, self.batch_size, seed=int(params.get("seed", 0)),
-            process_index=jax.process_index(), process_count=jax.process_count())
+            process_index=jax.process_index(), process_count=jax.process_count(),
+            num_workers=int(params.get("mp_loaders", 0)))
         steps_per_epoch = len(self.loader)
         tx, self.lr_schedule = build_optimizer(params, steps_per_epoch)
         state = create_train_state(init_params, tx,
@@ -310,6 +311,15 @@ class TrainingRun:
     # ---- the loop ----------------------------------------------------------
 
     def run(self, max_steps: Optional[int] = None) -> TrainState:
+        try:
+            return self._run_impl(max_steps)
+        finally:
+            # drain async Orbax saves on EVERY exit path (early max_steps
+            # return, invalid-loss abort, normal completion) — otherwise the
+            # metadata writer races interpreter shutdown
+            self.checkpoints.close()
+
+    def _run_impl(self, max_steps: Optional[int] = None) -> TrainState:
         p = self.params
         max_epochs = int(p.get("max_epochs", 1))
         display_freq = int(p.get("display_freq", 500))

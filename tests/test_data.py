@@ -187,3 +187,15 @@ def test_random_crop_class_ratio_constraint():
     assert out_lbl.shape == (8, 8)
     classes, counts = np.unique(out_lbl, return_counts=True)
     assert len(classes) == 2 and counts.max() / counts.sum() < 0.9
+
+
+def test_epoch_loader_worker_count_invariance():
+    """mp_loaders parity: the data stream is bit-identical for any worker
+    count (per-sample rng keyed by (seed, epoch, index))."""
+    ds = synthetic_training_dataset(n=17, resolution=32)
+    serial = list(EpochLoader(ds, batch_size=4, seed=7).epoch(3))
+    threaded = list(EpochLoader(ds, batch_size=4, seed=7, num_workers=3).epoch(3))
+    assert len(serial) == len(threaded)
+    for a, b in zip(serial, threaded):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
