@@ -62,7 +62,7 @@ def fake_cityscapes(tmp_path):
         Image.fromarray(ids).save(gt_dir / f"img{i}_gtFine_labelIds.png")
         inst = ids.astype(np.int32)
         inst[ids == 26] = 26001  # one car instance per image
-        Image.fromarray(inst, mode="I").save(gt_dir / f"img{i}_gtFine_instanceIds.png")
+        Image.fromarray(inst.astype(np.uint16)).save(gt_dir / f"img{i}_gtFine_instanceIds.png")
     return str(tmp_path)
 
 
@@ -149,7 +149,7 @@ def test_score_instance_iiou_golden(tmp_path):
     _save(gt_p, gt)
     _save(pr_p, pred)
     # default path derivation: labelIds -> instanceIds (cs_eval.py:686)
-    Image.fromarray(inst, mode="I").save(tmp_path / "x_gtFine_instanceIds.png")
+    Image.fromarray(inst.astype(np.uint16)).save(tmp_path / "x_gtFine_instanceIds.png")
 
     res = score_img_lists([pr_p], [gt_p])
     w = AVG_CLASS_SIZE["person"] / 16.0
