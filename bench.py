@@ -42,6 +42,9 @@ def main():
     h = w = 128
 
     params_cfg = dict(FLAGSHIP_PARAMS, step_T_sample="confidence")
+    if os.environ.get("BENCH_INT8") == "1":
+        # TPU-native int8 conv path (ops/quant.py) — opt-in
+        params_cfg["quantized_inference"] = True
     model = build_model(params_cfg, num_classes=2, image_channels=1, image_size=h)
     params = model.init(jax.random.PRNGKey(0), (h, w, 1))
     sampler = make_prob_sampler(model, num_samples, num_steps)

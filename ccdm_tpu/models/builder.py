@@ -123,6 +123,8 @@ def build_model(
         dtype=dtype,
         remat_resblocks=bool(bb.get("use_checkpoint", False)),
         norm_fp32=bool(bb.get("norm_fp32", True)),
+        # TPU-native int8 inference mode (no reference analogue; ops/quant.py)
+        quantize_convs=bool(params.get("quantized_inference", False)),
     )
     model = DenoisingModel(
         diffusion=diffusion,

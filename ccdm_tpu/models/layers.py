@@ -67,14 +67,25 @@ class GroupNorm32(nn.Module):
         return y.astype(x.dtype)
 
 
-def conv3x3(features: int, dtype, name: Optional[str] = None, zero_init: bool = False) -> nn.Conv:
+def conv3x3(features: int, dtype, name: Optional[str] = None, zero_init: bool = False,
+            quant: bool = False) -> nn.Module:
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    if quant:
+        from ccdm_tpu.ops.quant import QuantConv
+
+        return QuantConv(features, (3, 3), padding=PAD1, kernel_init=init, name=name)
     return nn.Conv(features, (3, 3), padding=PAD1, dtype=dtype,
                    param_dtype=jnp.float32, kernel_init=init, name=name)
 
 
-def conv1x1(features: int, dtype, name: Optional[str] = None, zero_init: bool = False) -> nn.Conv:
+def conv1x1(features: int, dtype, name: Optional[str] = None, zero_init: bool = False,
+            quant: bool = False) -> nn.Module:
     init = nn.initializers.zeros if zero_init else nn.initializers.lecun_normal()
+    if quant:
+        from ccdm_tpu.ops.quant import QuantConv
+
+        return QuantConv(features, (1, 1), padding=((0, 0), (0, 0)),
+                         kernel_init=init, name=name)
     return nn.Conv(features, (1, 1), dtype=dtype, param_dtype=jnp.float32,
                    kernel_init=init, name=name)
 
@@ -92,12 +103,13 @@ class Upsample(nn.Module):
     out_channels: int
     use_conv: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nearest_upsample_2x(x)
         if self.use_conv:
-            x = conv3x3(self.out_channels, self.dtype, name="conv")(x)
+            x = conv3x3(self.out_channels, self.dtype, name="conv", quant=self.quant)(x)
         return x
 
 
@@ -107,10 +119,16 @@ class Downsample(nn.Module):
     out_channels: int
     use_conv: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.use_conv:
+            if self.quant:
+                from ccdm_tpu.ops.quant import QuantConv
+
+                return QuantConv(self.out_channels, (3, 3), strides=(2, 2),
+                                 padding=PAD1, name="op")(x)
             return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=PAD1,
                            dtype=self.dtype, param_dtype=jnp.float32, name="op")(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
@@ -133,6 +151,8 @@ class ResBlock(nn.Module):
     down: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     norm_fp32: bool = True
+    # int8 convs for inference (ops/quant.py); float path when False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -144,7 +164,7 @@ class ResBlock(nn.Module):
         elif self.down:
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = conv3x3(self.out_channels, self.dtype, name="in_conv")(h)
+        h = conv3x3(self.out_channels, self.dtype, name="in_conv", quant=self.quant)(h)
 
         emb_width = 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
         emb_out = nn.Dense(emb_width, dtype=self.dtype, param_dtype=jnp.float32,
@@ -159,10 +179,11 @@ class ResBlock(nn.Module):
             h = h + emb_out
             h = nn.silu(GroupNorm32(self.norm_fp32, name="out_norm")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = conv3x3(self.out_channels, self.dtype, name="out_conv", zero_init=True)(h)
+        h = conv3x3(self.out_channels, self.dtype, name="out_conv", zero_init=True,
+                    quant=self.quant)(h)
 
         if in_ch != self.out_channels:
-            x = conv1x1(self.out_channels, self.dtype, name="skip")(x)
+            x = conv1x1(self.out_channels, self.dtype, name="skip", quant=self.quant)(x)
         return x + h
 
 

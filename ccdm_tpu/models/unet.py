@@ -77,6 +77,10 @@ class UNetModel(nn.Module):
     # fp32 elementwise GroupNorm (exact reference semantics). False keeps
     # fp32 statistics but bf16 normalise - faster on bandwidth-bound levels.
     norm_fp32: bool = True
+    # int8 convs in ResBlocks/resampling/in_conv (ops/quant.py): ~2.4x conv
+    # throughput on the v5e MXU. Heads and attention stay float. OFF by
+    # default; inference-only (the quantization round is not differentiable).
+    quantize_convs: bool = False
 
     @nn.compact
     def __call__(
@@ -99,7 +103,7 @@ class UNetModel(nn.Module):
                 out_channels=out_ch, dropout=self.dropout,
                 use_scale_shift_norm=self.use_scale_shift_norm,
                 up=up, down=down, dtype=self.dtype,
-                norm_fp32=self.norm_fp32, name=name,
+                norm_fp32=self.norm_fp32, quant=self.quantize_convs, name=name,
             )
             if self.remat_resblocks:
                 return block(h, emb, deterministic)
@@ -121,7 +125,7 @@ class UNetModel(nn.Module):
 
         # ---- encoder -------------------------------------------------------
         ch = int(self.channel_mult[0] * mc)
-        h = conv3x3(ch, self.dtype, name="in_conv")(h)
+        h = conv3x3(ch, self.dtype, name="in_conv", quant=self.quantize_convs)(h)
         skips = [h]
         ds = 1
         block_idx = 1  # parity with input_blocks_cnt (unet.py:522)
@@ -141,6 +145,7 @@ class UNetModel(nn.Module):
                 block_idx += 1
             if level != len(self.channel_mult) - 1:
                 h = Downsample(ch, use_conv=True, dtype=self.dtype,
+                               quant=self.quantize_convs,
                                name=f"down_{block_idx}_downsample")(h)
                 skips.append(h)
                 block_idx += 1
@@ -162,6 +167,7 @@ class UNetModel(nn.Module):
                     h = attn(h, name=f"up_{out_idx}_attn")
                 if level and i == self.num_res_blocks:
                     h = Upsample(ch, use_conv=True, dtype=self.dtype,
+                                 quant=self.quantize_convs,
                                  name=f"up_{out_idx}_upsample")(h)
                     ds //= 2
                 out_idx += 1
@@ -198,6 +204,7 @@ def create_unet(
     dtype: jnp.dtype = jnp.bfloat16,
     remat_resblocks: bool = False,
     norm_fp32: bool = True,
+    quantize_convs: bool = False,
 ) -> UNetModel:
     """Factory mirroring `create_unet_openai` (`unet_openai/__init__.py:5-61`)."""
     if channel_mult is None:
@@ -219,4 +226,5 @@ def create_unet(
         dtype=dtype,
         remat_resblocks=remat_resblocks,
         norm_fp32=norm_fp32,
+        quantize_convs=quantize_convs,
     )
