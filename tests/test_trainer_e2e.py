@@ -81,3 +81,17 @@ def test_invalid_loss_aborts(tmp_path, tiny_synthetic):
     with pytest.raises(ValueError, match="Invalid loss"):
         run.run(max_steps=3)
     assert os.path.isdir(tmp_path / "bad" / "debug_state")
+
+
+def test_profile_steps_writes_trace(tmp_path, tiny_synthetic):
+    """profile_steps: N (SURVEY §5 tracing parity) wraps steps 10..10+N in a
+    jax.profiler trace written under <output_path>/profile."""
+    from ccdm_tpu.train.trainer import run_train
+
+    params = dict(SMOKE_PARAMS, output_path=str(tmp_path / "prof_run"),
+                  profile_steps=2, validation_freq=1000, save_freq=1000)
+    run_train(params, max_steps=13)
+    prof_dir = tmp_path / "prof_run" / "profile"
+    assert prof_dir.is_dir()
+    # the trace writer produces at least one plugins/profile artifact
+    assert any(prof_dir.rglob("*"))
