@@ -113,9 +113,15 @@ class CityscapesEvaluator:
         # (cs_eval.py:684-691: instance path = labelIds path substitution)
         inst_files: Optional[list] = None
         if self.eval_resolution == "original" and hasattr(dataset, "label_files"):
+            # dataset.get(k) reads label_files[indices[k]] (seeded-subset
+            # support) — instance paths must follow the same mapping
+            files = list(dataset.label_files)
+            order = getattr(dataset, "indices", None)
+            picked = [files[int(order[k]) if order is not None else k]
+                      for k in range(n)]
             inst_files = [
                 p.replace("labelIds", "instanceIds") if "labelIds" in p else None
-                for p in list(dataset.label_files)[:n]
+                for p in picked
             ]
         for start in range(0, n, batch_size):
             samples = [dataset.get(i, rng) for i in range(start, start + batch_size)]

@@ -58,15 +58,15 @@ AVG_CLASS_SIZE = {
 INSTANCE_LABELS = [l for l in EVAL_LABELS if l.has_instances]
 
 def _instance_categories() -> Dict[str, List[int]]:
-    """Categories whose every non-ignored label has instances.
+    """Categories whose every label (id >= 0) has instances.
 
-    Parity: `generateInstanceStats` (`cs_eval.py:316-332`) — a category joins
-    the instance-level scoring only if ALL of its evaluated labels are
-    instance classes (Cityscapes: "human" and "vehicle")."""
+    Parity: `generateInstanceStats` (`cs_eval.py:314-332`) — only `id < 0`
+    labels are skipped, so ignored-in-eval instance classes (caravan 29,
+    trailer 30) DO join the category labelIds, exactly like the official
+    scorer (Cityscapes: "human" and "vehicle")."""
     out: Dict[str, List[int]] = {}
     for cat in sorted({l.category for l in LABELS if l.id >= 0}):
-        members = [l for l in LABELS if l.category == cat and l.id >= 0
-                   and not l.ignore_in_eval]
+        members = [l for l in LABELS if l.category == cat and l.id >= 0]
         if members and all(l.has_instances for l in members):
             out[cat] = [l.id for l in members]
     return out
@@ -169,23 +169,31 @@ def score_img_lists(
     (`eval_cdm.py:424-432`).
     """
     assert len(pred_list) == len(gt_list)
-    cm = confusion_matrix_from_pairs(list(zip(pred_list, gt_list)))
-
     if inst_list is None:
         # the substitution only yields a real instance path when the gt file
         # follows the gtFine naming scheme; otherwise skip iIoU for that image
         inst_list = [g.replace("labelIds", "instanceIds") if "labelIds" in g
                      else None for g in gt_list]
     assert len(inst_list) == len(gt_list)
+
+    from ccdm_tpu.native import add_to_confusion_matrix
+
+    # single pass: each prediction PNG is decoded once and feeds both the
+    # confusion matrix and the instance-weighted stats
+    cm = np.zeros((MAX_ID, MAX_ID), dtype=np.int64)
     inst_stats = _empty_instance_stats()
     n_inst_images = 0
-    for pred_path, inst_path in zip(pred_list, inst_list):
-        if not inst_path or not os.path.exists(inst_path):
-            continue
-        pred = np.asarray(Image.open(pred_path), dtype=np.int64)
-        inst = np.asarray(Image.open(inst_path)).astype(np.int64)
-        accumulate_instance_stats(pred, inst, inst_stats)
-        n_inst_images += 1
+    for pred_path, gt_path, inst_path in zip(pred_list, gt_list, inst_list):
+        pred = np.asarray(Image.open(pred_path), dtype=np.uint8)
+        gt = np.asarray(Image.open(gt_path), dtype=np.uint8)
+        if pred.shape != gt.shape:
+            raise ValueError(
+                f"shape mismatch {pred.shape} vs {gt.shape}: {pred_path} / {gt_path}")
+        add_to_confusion_matrix(gt, pred, MAX_ID, cm)
+        if inst_path and os.path.exists(inst_path):
+            inst = np.asarray(Image.open(inst_path)).astype(np.int64)
+            accumulate_instance_stats(pred.astype(np.int64), inst, inst_stats)
+            n_inst_images += 1
 
     eval_ids = [l.id for l in EVAL_LABELS]
     class_scores = {l.name: _iou_for_ids(cm, [l.id], eval_ids) for l in EVAL_LABELS}

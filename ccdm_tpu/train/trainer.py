@@ -155,6 +155,13 @@ class TrainingRun:
                         encoder.name, encoder.stride, encoder.channels,
                         encoder.trainable)
 
+        if params.get("quantized_inference"):
+            # int8 convs are not differentiable (round has zero gradient
+            # a.e.) — the mode is eval/sampling-only (ops/quant.py)
+            raise ValueError(
+                "quantized_inference is inference-only; remove it from the "
+                "training config (training always runs the float path)")
+
         # image_size = min(H, W) selects the channel_mult table
         # (parity: `ddpm/models/builder.py:36`)
         self.model: DenoisingModel = build_model(
@@ -311,12 +318,17 @@ class TrainingRun:
     # ---- the loop ----------------------------------------------------------
 
     def run(self, max_steps: Optional[int] = None) -> TrainState:
+        self._profiling = False
         try:
             return self._run_impl(max_steps)
         finally:
-            # drain async Orbax saves on EVERY exit path (early max_steps
-            # return, invalid-loss abort, normal completion) — otherwise the
-            # metadata writer races interpreter shutdown
+            # close out EVERY exit path (early max_steps return, invalid-loss
+            # abort, normal completion): stop a still-open profiler trace and
+            # drain async Orbax saves — otherwise the trace is left corrupt /
+            # the metadata writer races interpreter shutdown
+            if self._profiling:
+                jax.profiler.stop_trace()
+                self._profiling = False
             self.checkpoints.close()
 
     def _run_impl(self, max_steps: Optional[int] = None) -> TrainState:
@@ -377,7 +389,7 @@ class TrainingRun:
             for batch in it:
                 if profile_from and not profiling and total == 10:
                     jax.profiler.start_trace(os.path.join(self.output_path, "profile"))
-                    profiling = True
+                    profiling = self._profiling = True
                 if k_launch > 1:
                     self.state, metrics = self.jit_multi_step(self.state, batch, self.rng)
                 else:
@@ -388,7 +400,7 @@ class TrainingRun:
                 if profiling and total >= 10 + profile_from:
                     jax.tree.leaves(metrics)[0].block_until_ready()
                     jax.profiler.stop_trace()
-                    profiling = False
+                    profiling = self._profiling = False
                     LOGGER.info("profiler trace written to %s/profile", self.output_path)
                 window_items += self.batch_size * k_launch
                 step = step0 + total

@@ -71,11 +71,12 @@ def main():
         if k.startswith("bytes accessed") and ca[k] > 1e8:
             print(f"  {k}: {ca[k]/1e9:.2f} GB")
 
-    out = jax.jit(fwd)(params, xt, cond, t)
+    jitted = jax.jit(fwd)
+    out = jitted(params, xt, cond, t)
     out.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(5):
-        out = jax.jit(fwd)(params, xt, cond, t)
+        out = jitted(params, xt, cond, t)
     float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / 5
     print(f"unet fwd alone: {dt*1e3:.2f} ms/call at batch {b} (incl dispatch)")

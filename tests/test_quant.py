@@ -86,3 +86,22 @@ def test_quantized_sampler_runs():
         p, xt, cond, jax.random.PRNGKey(4))
     assert out.shape == (2, 16, 16, 2)
     np.testing.assert_allclose(np.asarray(jnp.sum(out, -1)), 1.0, atol=1e-6)
+
+
+def test_quantized_inference_rejected_for_training(tmp_path):
+    """The int8 path is inference-only: training configs must fail fast."""
+    import pytest
+
+    from ccdm_tpu.train.trainer import TrainingRun
+
+    params = {
+        "output_path": str(tmp_path / "qtrain"),
+        "dataset_file": "ccdm_tpu.data.synthetic",
+        "batch_size": 4, "max_epochs": 1, "time_steps": 2,
+        "beta_schedule": "cosine", "compute_dtype": "float32",
+        "quantized_inference": True,
+        "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                        "attention_resolutions": [4], "num_head_channels": 4},
+    }
+    with pytest.raises(ValueError, match="inference-only"):
+        TrainingRun(params)
