@@ -25,7 +25,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 from PIL import Image
@@ -72,26 +72,6 @@ def _instance_categories() -> Dict[str, List[int]]:
     return out
 
 INSTANCE_CATEGORIES = _instance_categories()
-
-
-def confusion_matrix_from_pairs(
-    pairs: Sequence[Tuple[str, str]],
-) -> np.ndarray:
-    """Accumulate a [256, 256] (gt, pred) confusion matrix over PNG pairs.
-
-    Uses the native C++ kernel when available (ccdm_tpu.native), mirroring
-    the reference's optional Cython fast path (`cs_eval.py:15-21`)."""
-    from ccdm_tpu.native import add_to_confusion_matrix
-
-    cm = np.zeros((MAX_ID, MAX_ID), dtype=np.int64)
-    for pred_path, gt_path in pairs:
-        pred = np.asarray(Image.open(pred_path), dtype=np.uint8)
-        gt = np.asarray(Image.open(gt_path), dtype=np.uint8)
-        if pred.shape != gt.shape:
-            raise ValueError(
-                f"shape mismatch {pred.shape} vs {gt.shape}: {pred_path} / {gt_path}")
-        add_to_confusion_matrix(gt, pred, MAX_ID, cm)
-    return cm
 
 
 def accumulate_instance_stats(pred: np.ndarray, inst: np.ndarray,
