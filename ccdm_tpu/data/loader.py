@@ -60,8 +60,9 @@ class EpochLoader:
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
-            n += 1
+        if (not self.drop_last and self.process_count == 1
+                and len(self.dataset) % self.batch_size):
+            n += 1  # multi-process always trims to whole global batches
         return n
 
     def _load_batch(self, idx: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
@@ -76,6 +77,13 @@ class EpochLoader:
     def _batch_indices(self, epoch: int):
         rng = np.random.default_rng((self.seed, epoch))
         order = rng.permutation(len(self.dataset)) if self.shuffle else np.arange(len(self.dataset))
+        if self.process_count > 1:
+            # every process must see the SAME number of batches — a jitted
+            # step is a collective and a straggler with one fewer batch
+            # deadlocks the all-reduce. Truncate to whole GLOBAL batches
+            # before striding (DistributedSampler-style even split).
+            usable = (len(order) // self.batch_size) * self.batch_size
+            order = order[:usable]
         order = order[self.process_index::self.process_count]
         nb = len(order) // self.local_batch
         rem = len(order) % self.local_batch

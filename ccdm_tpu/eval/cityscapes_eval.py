@@ -105,7 +105,7 @@ class CityscapesEvaluator:
         n = len(dataset)
         if max_images:
             n = min(n, max_images)
-        n -= n % batch_size
+        batch_size = min(batch_size, max(n, 1))
         rng = np.random.default_rng(0)
         img_cnt = 0
         # iIoU needs the real gtFine instanceIds PNGs, and is only geometrically
@@ -124,12 +124,17 @@ class CityscapesEvaluator:
                 for p in picked
             ]
         for start in range(0, n, batch_size):
-            samples = [dataset.get(i, rng) for i in range(start, start + batch_size)]
+            # tail batch padded by repeating the last image (keeps the
+            # compiled sampler at one shape); only `real` entries are scored
+            real = min(batch_size, n - start)
+            idx = list(range(start, start + real)) + [start + real - 1] * (batch_size - real)
+            samples = [dataset.get(i, rng) for i in idx]
             images = np.stack([s["image"] for s in samples])
             labels = np.stack([s["label"] for s in samples])  # train ids [B,H,W]
 
             key, sub = jax.random.split(key)
             probs = self.predict_batch(images, sub)  # [B,H,W,C]
+            probs, labels, samples = probs[:real], labels[:real], samples[:real]
 
             if self.eval_resolution == "original" and "original_labels" in samples[0]:
                 labels = np.stack([s["original_labels"] for s in samples])

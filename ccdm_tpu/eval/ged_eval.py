@@ -74,27 +74,29 @@ def compute_ged(
     total_ged = total_div = total_hm = 0.0
     count = 0
     n = len(dataset)
-    bs = max(1, batch_size)
-    num_batches = n // bs
-    for bi in range(num_batches):
+    bs = max(1, min(batch_size, n))
+    for bi, start in enumerate(range(0, n, bs)):
         if max_batches is not None and bi >= max_batches:
             break
-        idx = range(bi * bs, (bi + 1) * bs)
+        # pad the tail batch (repeat last image) so the compiled sampler
+        # keeps one shape; only the real entries are scored
+        real = min(bs, n - start)
+        idx = list(range(start, start + real)) + [start + real - 1] * (bs - real)
         samples = [dataset.get(i) for i in idx]
         images = np.stack([s["image"] for s in samples])
-        labels = np.stack([s["labels"] for s in samples])  # [B,A,H,W,C]
+        labels = np.stack([s["labels"] for s in samples[:real]])  # [B,A,H,W,C]
         refs = np.argmax(labels, axis=-1).astype(np.int32)
 
         key, sub = jax.random.split(key)
-        preds = sampler(params, jnp.asarray(images), sub)  # [B,S,H,W]
+        preds = sampler(params, jnp.asarray(images), sub)[:real]  # [B,S,H,W]
 
         ged, div_s, _ = generalised_energy_distance(preds, jnp.asarray(refs), num_classes)
         hm = hungarian_matched_iou(preds, jnp.asarray(refs), num_classes)
         total_ged += float(np.sum(ged))
         total_div += float(np.sum(div_s))
         total_hm += float(np.sum(hm))
-        count += len(samples)
+        count += real
 
     if count == 0:
-        raise ValueError("validation dataset smaller than one batch")
+        raise ValueError("empty validation dataset")
     return total_ged / count, total_div / count, total_hm / count

@@ -171,21 +171,26 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
     cm = ConfusionMatrix(num_classes)
     nonzero_total = 0
     count = 0
-    gen_seconds = 0.0
+    batch_seconds: List[float] = []
 
     n = len(dataset)
-    for start in range(0, n - n % batch_size, batch_size):
-        idx = range(start, start + batch_size)
+    batch_size = min(batch_size, max(n, 1))
+    for start in range(0, n, batch_size):
+        # pad the tail batch by repeating the last image so the compiled
+        # sampler keeps one shape; only the `real` entries enter the metrics
+        real = min(batch_size, n - start)
+        idx = list(range(start, start + real)) + [start + real - 1] * (batch_size - real)
         samples = [dataset.get(i) for i in idx]
         images = jnp.asarray(np.stack([s["image"] for s in samples]))
-        labels = np.stack([s["labels"] for s in samples])  # [B,A,H,W,C]
+        labels = np.stack([s["labels"][...] for s in samples[:real]])  # [B,A,H,W,C]
         refs = np.argmax(labels, axis=-1).astype(np.int32)  # [B,A,H,W]
 
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         probs = sampler(model_params, images, sub)  # [B,S,H,W,C]
         probs.block_until_ready()
-        gen_seconds += time.perf_counter() - t0
+        batch_seconds.append(time.perf_counter() - t0)
+        probs = probs[:real]
         pred_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [B,S,H,W]
 
         refs_j = jnp.asarray(refs)
@@ -206,11 +211,15 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
             for a in range(refs.shape[1]):
                 if nonzero[b, a]:
                     cm.update(mean_pred[b], refs[b, a])
-        count += len(samples)
+        count += real
 
     if count == 0:
-        raise ValueError(
-            f"test dataset ({n} images) smaller than batch_size {batch_size}")
+        raise ValueError(f"empty test dataset ({n} images)")
+    # steady-state throughput: the first batch pays the XLA compile, so
+    # exclude it whenever a second batch exists
+    gen_seconds = sum(batch_seconds)
+    steady = batch_seconds[1:] if len(batch_seconds) > 1 else batch_seconds
+    steady_rate = (len(steady) * batch_size * max_samples) / max(sum(steady), 1e-9)
     results: Dict[str, Any] = {
         "count": count,
         "nonzero_fraction": nonzero_total / max(count * labels.shape[1], 1),
@@ -218,7 +227,7 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
         "IoU": cm.iou().tolist(),
         "Dice": cm.dice().tolist(),
         "diversity_experts": float(div_experts[0] / max(count, 1)),
-        "samples_per_sec": count * max_samples / max(gen_seconds, 1e-9),
+        "samples_per_sec": steady_rate,
         "generation_seconds": gen_seconds,
     }
     for i, s in enumerate(evaluations):

@@ -40,7 +40,10 @@ def _polynomial_mult(min_ratio: float, power: float, total_steps: int) -> Callab
     denom = max(total_steps - 1, 1)
 
     def fn(step):
-        coeff = (1.0 - step / denom) ** power
+        # clamp past the schedule end: for step > total, lr stays at min_lr
+        # (the reference's documented intent, params.yml:33) — without the
+        # clamp a negative base to a fractional power would go NaN
+        coeff = jnp.maximum(1.0 - step / denom, 0.0) ** power
         mult = (1.0 - min_ratio) * coeff + min_ratio
         return jnp.maximum(mult, min_ratio)
 

@@ -21,6 +21,7 @@ in the (checkpointable) TrainState:
 from __future__ import annotations
 
 import collections
+import itertools
 import logging
 import os
 import pprint
@@ -201,9 +202,11 @@ class TrainingRun:
         sh = state_shardings(self.state, self.mesh)
         self.batch_sh = batch_sharding(self.mesh)
         self.rep = replicated(self.mesh)
+        # one sharding for the whole batch subtree — covers every key the
+        # step consumes (image, x0, optional feature_condition)
         self.jit_step = jax.jit(
             step_fn,
-            in_shardings=(sh, {"image": self.batch_sh, "x0": self.batch_sh}, self.rep),
+            in_shardings=(sh, self.batch_sh, self.rep),
             out_shardings=(sh, self.rep),
             donate_argnums=0,
         )
@@ -219,7 +222,7 @@ class TrainingRun:
             self.stacked_sh = stacked_sh
             self.jit_multi_step = jax.jit(
                 make_multi_step(step_fn),
-                in_shardings=(sh, {"image": stacked_sh, "x0": stacked_sh}, self.rep),
+                in_shardings=(sh, stacked_sh, self.rep),
                 out_shardings=(sh, self.rep),
                 donate_argnums=0,
             )
@@ -262,15 +265,16 @@ class TrainingRun:
             metrics.update(GED=ged, diversity=div, HMIoU=hmiou)
             if self.is_main:
                 self.metrics.log(int(self.state.step), metrics, tag="val")
-                self.checkpoints.save_best("ged", self.state, ged)
-                self.checkpoints.save_best("hmiou", self.state, hmiou)
+            # saves run on ALL processes (Orbax multihost coordination)
+            self.checkpoints.save_best("ged", self.state, ged)
+            self.checkpoints.save_best("hmiou", self.state, hmiou)
         else:
             miou = self.validate_miou()
             LOGGER.info("val mIoU: %.4f", miou)
             metrics.update(mIoU=miou)
             if self.is_main:
                 self.metrics.log(int(self.state.step), metrics, tag="val")
-                self.checkpoints.save_best("miou", self.state, miou)
+            self.checkpoints.save_best("miou", self.state, miou)
         return metrics
 
     def validate_miou(self, max_images: Optional[int] = 16) -> float:
@@ -280,9 +284,15 @@ class TrainingRun:
                                        feature_fn=self._val_feature_fn())
         cm = ConfusionMatrix(self.num_classes, self.ignore_class)
         n = min(len(self.val_ds), max_images or len(self.val_ds))
-        bs = max(1, self.batch_size // 4)
-        for start in range(0, n - n % bs, bs):
-            samples = [self.val_ds.get(i) for i in range(start, start + bs)]
+        if n == 0:
+            return float("nan")
+        bs = max(1, min(self.batch_size // 4, n))
+        for start in range(0, n, bs):
+            # pad the tail batch (repeat last sample) so the compiled sampler
+            # keeps one shape; only the real entries update the CM
+            real = min(bs, n - start)
+            idx = list(range(start, start + real)) + [start + real - 1] * (bs - real)
+            samples = [self.val_ds.get(i) for i in idx]
             images = np.stack([s["image"] for s in samples])
             if "labels" in samples[0]:  # multi-annotator protocol
                 true = np.argmax(np.stack([s["labels"][0] for s in samples]), -1)
@@ -290,7 +300,11 @@ class TrainingRun:
                 true = np.stack([s["label"] for s in samples])
             preds = sampler(self.ema_unet(), jnp.asarray(images),
                             jax.random.fold_in(self.rng, start))
-            cm.update(np.asarray(preds)[:, 0], true)
+            # prediction argmax spans all channels incl. the ignore class —
+            # matching the reference's in-training CM (ignite ignore_index
+            # only masks the reported vector, `trainer.py:398-407`); the
+            # official eval path drops the channel instead (eval_cdm.py:229)
+            cm.update(np.asarray(preds)[:real, 0], true[:real])
         return cm.miou()
 
     def save_qualitative(self, num_images: Optional[int] = None,
@@ -375,36 +389,43 @@ class TrainingRun:
             filtered = ({k: b[k] for k in step_keys if k in b} for b in raw_it)
             k_launch = self.steps_per_launch
             if k_launch > 1:
-                def grouped(src):
-                    group = []
-                    for b in src:
-                        group.append(b)
-                        if len(group) == k_launch:
-                            yield {key: np.stack([g[key] for g in group])
-                                   for key in group[0]}
-                            group = []
-                it = device_prefetch(grouped(filtered), self.stacked_sh)
+                # whole groups of K go through the multi-step launch; the
+                # epoch's tail (len(loader) % K batches) runs as single
+                # launches so no data is dropped and the trajectory stays
+                # identical to K=1
+                n_groups = len(self.loader) // k_launch
+                src = iter(filtered)
+
+                def grouped(it_src):
+                    for _ in range(n_groups):
+                        group = [next(it_src) for _ in range(k_launch)]
+                        yield {key: np.stack([g[key] for g in group])
+                               for key in group[0]}
+                it = itertools.chain(
+                    ((k_launch, b) for b in device_prefetch(grouped(src), self.stacked_sh)),
+                    ((1, b) for b in device_prefetch(src, self.batch_sh)),
+                )
             else:
-                it = device_prefetch(filtered, self.batch_sh)
-            for batch in it:
-                if profile_from and not profiling and total == 10:
+                it = ((1, b) for b in device_prefetch(filtered, self.batch_sh))
+            for k_step, batch in it:
+                if profile_from and not profiling and total >= 10:
                     jax.profiler.start_trace(os.path.join(self.output_path, "profile"))
                     profiling = self._profiling = True
-                if k_launch > 1:
+                if k_step > 1:
                     self.state, metrics = self.jit_multi_step(self.state, batch, self.rng)
                 else:
                     self.state, metrics = self.jit_step(self.state, batch, self.rng)
-                pending.append((step0 + total + k_launch, metrics))
-                recent_batches.append((step0 + total + k_launch, batch))
-                total += k_launch
+                pending.append((step0 + total + k_step, metrics))
+                recent_batches.append((step0 + total + k_step, batch))
+                total += k_step
                 if profiling and total >= 10 + profile_from:
                     jax.tree.leaves(metrics)[0].block_until_ready()
                     jax.profiler.stop_trace()
                     profiling = self._profiling = False
                     LOGGER.info("profiler trace written to %s/profile", self.output_path)
-                window_items += self.batch_size * k_launch
+                window_items += self.batch_size * k_step
                 step = step0 + total
-                prev = step - k_launch
+                prev = step - k_step
 
                 def crossed(freq):
                     return (prev // freq) != (step // freq)
@@ -426,7 +447,10 @@ class TrainingRun:
                 else:
                     drain()
 
-                if self.is_main and crossed(save_freq):
+                if crossed(save_freq):
+                    # ALL processes call save: Orbax coordinates the
+                    # multihost write internally; gating on process 0 would
+                    # deadlock its sync barrier for sharded arrays
                     drain(block_all=True)
                     self.checkpoints.save_periodic(self.state)
                 if crossed(validation_freq):
@@ -442,9 +466,8 @@ class TrainingRun:
                     drain(block_all=True)
                     return self.state
             drain(block_all=True)
-        if self.is_main:
-            self.checkpoints.save_periodic(self.state)
-            self.checkpoints.wait()
+        self.checkpoints.save_periodic(self.state)
+        self.checkpoints.wait()
         return self.state
 
 

@@ -87,3 +87,36 @@ def test_trainer_steps_per_launch(tmp_path):
         assert os.path.isdir(tmp_path / "ml_run" / "model")
     finally:
         syn.training_dataset, syn.validation_dataset = orig_train, orig_val
+
+
+def test_trainer_steps_per_launch_with_tail(tmp_path):
+    """Epoch length NOT divisible by K: the tail batches run as single
+    launches so no step is dropped (2 batches/epoch, K=3 -> 0 groups + 2
+    singles per epoch; total step count is exact)."""
+    import ccdm_tpu.data.synthetic as syn
+
+    orig_train, orig_val = syn.training_dataset, syn.validation_dataset
+    syn.training_dataset = lambda: syn.synthetic_training_dataset(n=16, resolution=32)
+    syn.validation_dataset = lambda max_size=4: syn.synthetic_test_dataset(n=4, resolution=32)
+    try:
+        from ccdm_tpu.train.trainer import run_train
+
+        params = {
+            "output_path": str(tmp_path / "tail_run"),
+            "dataset_file": "ccdm_tpu.data.synthetic",
+            "batch_size": 8, "samples": 2, "max_epochs": 3,
+            "time_steps": 4, "beta_schedule": "cosine", "polyak_alpha": 0.9,
+            "compute_dtype": "float32",
+            "optim": {"name": "Adam", "learning_rate": 1e-3},
+            "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                            "attention_resolutions": [4], "num_head_channels": 4},
+            "display_freq": 10, "save_freq": 100, "validation_freq": 100,
+            "dataset_val_max_size": 4, "validation_max_batches": 1,
+            "steps_per_launch": 3,
+        }
+        # 16 imgs / batch 8 = 2 batches/epoch; 3 epochs = 6 steps total,
+        # none of which fill a K=3 group within an epoch
+        state = run_train(params)
+        assert int(state.step) == 6
+    finally:
+        syn.training_dataset, syn.validation_dataset = orig_train, orig_val
