@@ -90,7 +90,6 @@ def resize(
         if return_original_labels and metadata is not None:
             metadata["original_labels"] = lbl.astype(np.int32).copy()
 
-        pil_img = _to_pil_img(img if img.dtype == np.uint8 else img)
         # float images: resize channel planes via PIL 'F' mode for bilinear
         if img.dtype != np.uint8:
             planes = [
@@ -100,7 +99,7 @@ def resize(
             ]
             new_img = np.stack(planes, axis=-1).astype(np.float32)
         else:
-            new_img = np.asarray(pil_img.resize((tw, th), Image.BILINEAR))
+            new_img = np.asarray(_to_pil_img(img).resize((tw, th), Image.BILINEAR))
             new_img = _ensure_hwc(new_img)
         new_lbl = np.asarray(_to_pil_lbl(lbl).resize((tw, th), Image.NEAREST)).astype(lbl.dtype)
 
@@ -224,7 +223,9 @@ def color_jitter(brightness: float = 0.5, contrast: float = 0.5,
     """torchvision ColorJitter semantics on uint8/float RGB images."""
 
     def fn(img, lbl, rng, metadata=None):
-        img = _ensure_hwc(np.asarray(img)).astype(np.float32)
+        img = _ensure_hwc(np.asarray(img))
+        in_dtype = img.dtype  # preserved through the float working copy
+        img = img.astype(np.float32)
         scale = 255.0 if img.max() > 1.5 else 1.0
         x = img / scale
         ops = []
@@ -241,7 +242,7 @@ def color_jitter(brightness: float = 0.5, contrast: float = 0.5,
         rng.shuffle(ops)
         for op in ops:
             x = np.clip(op(x), 0.0, 1.0)
-        return (x * scale).astype(img.dtype if img.dtype == np.uint8 else np.float32), lbl, metadata
+        return (x * scale).astype(in_dtype if in_dtype == np.uint8 else np.float32), lbl, metadata
 
     return fn
 

@@ -155,7 +155,9 @@ class ResBlock(nn.Module):
     quant: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        # NOTE: deterministic is positional-or-keyword so the remat wrapper
+        # can mark it static by argnum (unet.py static_argnums=(3,))
         in_ch = x.shape[-1]
         h = nn.silu(GroupNorm32(self.norm_fp32, name="in_norm")(x))
         if self.up:

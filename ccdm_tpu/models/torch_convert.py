@@ -51,6 +51,8 @@ def _torch_prefix_for(module_name: str) -> str:
         return "out.0"
     if module_name == "out_conv":
         return "out.2"
+    if module_name == "out_ce_norm":
+        return "out_ce.0"
     if module_name == "out_ce_conv":
         return "out_ce.2"
     if module_name == "mid_res1":
@@ -111,17 +113,18 @@ _SUBMAP = {
 
 
 def _convert_array(torch_arr: np.ndarray, flax_leaf) -> np.ndarray:
+    # Transpose strictly by rank — never skip on a shape match, or square
+    # Linear weights (e.g. the [time_dim, time_dim] time_mlp2) would load
+    # untransposed and silently corrupt the conversion.
     t = np.asarray(torch_arr)
-    target_shape = flax_leaf.shape
-    if t.shape == target_shape:
-        return t
+    target_shape = tuple(flax_leaf.shape)
     if t.ndim == 4:  # Conv2d OIHW -> HWIO
         t = np.transpose(t, (2, 3, 1, 0))
     elif t.ndim == 3:  # Conv1d [O,I,1] -> Dense [I,O]
         t = np.transpose(t[:, :, 0])
     elif t.ndim == 2:  # Linear [O,I] -> [I,O]
         t = np.transpose(t)
-    assert t.shape == tuple(target_shape), f"shape {t.shape} != {tuple(target_shape)}"
+    assert t.shape == target_shape, f"shape {t.shape} != {target_shape}"
     return t
 
 

@@ -94,6 +94,8 @@ class UNetModel(nn.Module):
     ) -> dict:
         mc = self.model_channels
         attn_cls = nn.remat(AttentionBlock, static_argnums=()) if self.remat_attention else AttentionBlock
+        # deterministic passes positionally through the remat boundary
+        # (argnum 3 counting self) so it stays a static Python bool
         res_cls = (
             nn.remat(ResBlock, static_argnums=(3,)) if self.remat_resblocks else ResBlock
         )
@@ -181,8 +183,12 @@ class UNetModel(nn.Module):
             out = nn.softmax(out, axis=-1)
         ret = {"diffusion_out": out, "logits": None}
         if self.ce_head:
+            # the CE head has its OWN normalization, independently trained
+            # (parity: `out_ce = Sequential(normalization, SiLU, zero conv)`,
+            # unet.py:716-726 — not shared with the diffusion head's out.0)
+            ce_feats = nn.silu(GroupNorm32(name="out_ce_norm")(h))
             ret["logits"] = conv3x3(self.out_channels - 1, jnp.float32,
-                                    name="out_ce_conv", zero_init=True)(feats)
+                                    name="out_ce_conv", zero_init=True)(ce_feats)
         return ret
 
 

@@ -16,9 +16,12 @@ the row-major block as `[H*W/k, k*C]` with `k = 128 // C` (a free reshape of
 contiguous data), reduces at full lane width, and folds the k channel copies
 afterwards.
 
-Used on the inference path (`GroupNorm32(use_pallas=True)` via
-`unet_openai.pallas_norm`); training keeps the XLA path for autodiff (a
-custom VJP is future work).
+STATUS: experimental, NOT wired into the model. Measured on v5e
+(PERFNOTES.md), XLA's convert+reduce fusion plus conv-prologue fusion beats
+this standalone kernel (1.55 ms vs 2.35 ms at the hot shape) — inside the
+compiled sampler the GN passes fuse with their neighbours, which a
+standalone kernel forfeits. It stays in the tree (interpret-mode parity
+tested) as the starting point for a future ResBlock mega-kernel.
 """
 
 from __future__ import annotations

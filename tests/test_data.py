@@ -199,3 +199,15 @@ def test_epoch_loader_worker_count_invariance():
     for a, b in zip(serial, threaded):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_color_jitter_preserves_uint8():
+    from ccdm_tpu.data.transforms import color_jitter
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    out, _, _ = color_jitter()(img, np.zeros((8, 8), np.int64), rng)
+    assert out.dtype == np.uint8
+    fl, _, _ = color_jitter()(img.astype(np.float32) / 255.0,
+                              np.zeros((8, 8), np.int64), rng)
+    assert fl.dtype == np.float32

@@ -42,6 +42,15 @@ def reference_unet():
         num_head_channels=16,
         softmax_output=True,
     )
+    # Un-zero every zero-initialised parameter (output head, ResBlock
+    # out_convs, attention projections): with them at zero the network
+    # emits uniform softmax regardless of the torso, making parity vacuous
+    # — this caught a square-Linear transpose bug in the converter.
+    with torch.no_grad():
+        gen = torch.Generator().manual_seed(1)
+        for p in unet.parameters():
+            if float(p.abs().sum()) == 0.0:
+                p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
     unet.eval()
     return unet
 

@@ -110,3 +110,46 @@ def test_unet_ce_head():
     params = unet.init({"params": jax.random.PRNGKey(0)}, xt, cond, t)["params"]
     out = unet.apply({"params": params}, xt, cond, t)
     assert out["logits"].shape == (1, 16, 16, 2)  # out_channels - 1 (unet.py:722)
+
+
+def test_remat_resblocks_init_apply_grad():
+    """use_checkpoint: yes (remat_resblocks) must init, run, and differentiate
+    — regression for a keyword-only/static_argnums mismatch that crashed init."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccdm_tpu.models.unet import create_unet
+
+    u = create_unet(image_size=64, base_channels=8, out_channels=2,
+                    channel_mult=(1, 2), attention_resolutions=(4,),
+                    num_head_channels=4, dtype=jnp.float32,
+                    remat_resblocks=True, softmax_output=False)
+    key = jax.random.PRNGKey(3)
+    xt = jax.nn.one_hot(jax.random.randint(key, (2, 16, 16), 0, 2), 2)
+    cond = jax.random.normal(key, (2, 16, 16, 1))
+    t = jnp.ones((2,))
+    v = u.init({"params": jax.random.PRNGKey(0)}, xt, cond, t)
+    out = u.apply(v, xt, cond, t)["diffusion_out"]
+    assert out.shape == (2, 16, 16, 2)
+    g = jax.grad(lambda p: jnp.sum(
+        u.apply({"params": p}, xt, cond, t)["diffusion_out"]))(v["params"])
+    assert any(float(jnp.abs(x).sum()) > 0 for x in jax.tree.leaves(g))
+
+
+def test_ce_head_has_independent_norm():
+    """The CE head normalizes with its own GroupNorm (reference out_ce.0,
+    unet.py:716-726), not the diffusion head's out_norm."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccdm_tpu.models.unet import create_unet
+
+    u = create_unet(image_size=64, base_channels=8, out_channels=3,
+                    channel_mult=(1, 2), attention_resolutions=(),
+                    num_head_channels=4, dtype=jnp.float32, ce_head=True)
+    xt = jnp.zeros((1, 16, 16, 3))
+    cond = jnp.zeros((1, 16, 16, 1))
+    v = u.init({"params": jax.random.PRNGKey(0)}, xt, cond, jnp.ones((1,)))
+    assert "out_ce_norm" in v["params"]
+    out = u.apply(v, xt, cond, jnp.ones((1,)))
+    assert out["logits"].shape == (1, 16, 16, 2)  # num_classes - 1
