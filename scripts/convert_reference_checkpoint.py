@@ -24,7 +24,11 @@ def main():
     ap.add_argument("params_yml")
     ap.add_argument("--num-classes", type=int, default=2)
     ap.add_argument("--image-channels", type=int, default=1)
-    ap.add_argument("--image-size", type=int, default=128)
+    ap.add_argument("--image-size", type=int, default=128,
+                    help="image height (and width unless --image-width)")
+    ap.add_argument("--image-width", type=int, default=None,
+                    help="image width for non-square configs (e.g. 512 for "
+                         "the cdm_dino_256x512 checkpoint)")
     args = ap.parse_args()
 
     import jax
@@ -37,11 +41,20 @@ def main():
     from ccdm_tpu.models.torch_convert import torch_unet_to_flax
 
     params = with_defaults(load_params(args.params_yml))
+    h = args.image_size
+    w = args.image_width or args.image_size
     model = build_model(params, args.num_classes,
                         image_channels=args.image_channels,
-                        image_size=args.image_size)
-    template = model.init(jax.random.PRNGKey(0),
-                          (args.image_size, args.image_size, args.image_channels))
+                        image_size=min(h, w))  # builder.py:36 parity
+    # DINO-conditioned configs widen the concat block: the template tree
+    # must be built with the feature map present or conversion mismatches
+    fce = params.get("feature_cond_encoder") or {}
+    feature_shape = None
+    if fce.get("type") == "dino":
+        stride = int(fce.get("output_stride", 8))
+        feature_shape = (h // stride, w // stride, int(fce.get("channels", 384)))
+    template = model.init(jax.random.PRNGKey(0), (h, w, args.image_channels),
+                          feature_shape=feature_shape)
 
     ckpt = torch.load(args.torch_ckpt, map_location="cpu")
     def to_np(sd):
