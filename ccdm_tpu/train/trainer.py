@@ -344,6 +344,7 @@ class TrainingRun:
                 jax.profiler.stop_trace()
                 self._profiling = False
             self.checkpoints.close()
+            self.metrics.close()
 
     def _run_impl(self, max_steps: Optional[int] = None) -> TrainState:
         p = self.params

@@ -36,6 +36,8 @@ class MetricsLogger:
                 LOGGER.warning("wandb requested but not installed — JSONL only")
 
     def log(self, step: int, metrics: Dict[str, Any], tag: str = "train") -> None:
+        if self._file.closed:  # e.g. standalone validate() after run()
+            self._file = open(self.path, "a")
         event = {"step": int(step), "tag": tag, "time": time.time()}
         event.update({k: (float(v) if hasattr(v, "__float__") else v)
                       for k, v in metrics.items()})
