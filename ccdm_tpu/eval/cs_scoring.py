@@ -175,6 +175,16 @@ def score_img_lists(
             accumulate_instance_stats(pred.astype(np.int64), inst, inst_stats)
             n_inst_images += 1
 
+    if 0 < n_inst_images < len(pred_list):
+        # weighted TP/FN come from the instance subset while FP comes from the
+        # confusion matrix over ALL images, biasing iIoU low; the official
+        # scorer hard-errors on a missing instance file instead
+        LOGGER.warning(
+            "instanceIds files found for only %d/%d images — iIoU mixes "
+            "partial instance stats with full-set FP counts and is biased; "
+            "provide instance files for all images for an official score",
+            n_inst_images, len(pred_list))
+
     eval_ids = [l.id for l in EVAL_LABELS]
     class_scores = {l.name: _iou_for_ids(cm, [l.id], eval_ids) for l in EVAL_LABELS}
     category_scores = {

@@ -172,6 +172,7 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
     nonzero_total = 0
     count = 0
     batch_seconds: List[float] = []
+    batch_real: List[int] = []
 
     n = len(dataset)
     batch_size = min(batch_size, max(n, 1))
@@ -190,6 +191,7 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
         probs = sampler(model_params, images, sub)  # [B,S,H,W,C]
         probs.block_until_ready()
         batch_seconds.append(time.perf_counter() - t0)
+        batch_real.append(real)
         probs = probs[:real]
         pred_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [B,S,H,W]
 
@@ -216,10 +218,14 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
     if count == 0:
         raise ValueError(f"empty test dataset ({n} images)")
     # steady-state throughput: the first batch pays the XLA compile, so
-    # exclude it whenever a second batch exists
+    # exclude it whenever a second batch exists; count only REAL samples
+    # (the padded tail images are duplicated work, not generated output)
     gen_seconds = sum(batch_seconds)
-    steady = batch_seconds[1:] if len(batch_seconds) > 1 else batch_seconds
-    steady_rate = (len(steady) * batch_size * max_samples) / max(sum(steady), 1e-9)
+    steady = list(zip(batch_seconds, batch_real))
+    if len(steady) > 1:
+        steady = steady[1:]
+    steady_rate = (sum(r for _, r in steady) * max_samples) / max(
+        sum(s for s, _ in steady), 1e-9)
     results: Dict[str, Any] = {
         "count": count,
         "nonzero_fraction": nonzero_total / max(count * labels.shape[1], 1),

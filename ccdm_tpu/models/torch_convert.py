@@ -18,7 +18,7 @@ reproduced 1:1 by `UNetModel`'s `block_idx`/`out_idx` naming):
 | `middle_block.0/.1/.2`                  | `mid_res1/mid_attn/mid_res2` |
 | `output_blocks.j.0/.1/.last`            | `up_j_res/_attn/_upsample`   |
 | `out.0/.2`                              | `out_norm` / `out_conv`      |
-| `out_ce.0/.2`                           | (shared out_norm)/`out_ce_conv` |
+| `out_ce.0/.2`                           | `out_ce_norm` / `out_ce_conv`|
 
 Weight layout: Conv2d OIHW -> HWIO; Conv1d (qkv/proj 1x1) [O,I,1] -> [I,O];
 Linear [O,I] -> [I,O]; GroupNorm weight/bias -> scale/bias. The qkv packing

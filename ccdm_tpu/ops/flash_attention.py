@@ -96,12 +96,10 @@ def _flash_fwd_impl(q, k, v, block_q, interpret):
     def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, t, dh)
 
-    # pad T to a block multiple; padded keys get -inf logits via masking-free
-    # trick: pad K with zeros but pad Q rows are garbage-in/garbage-out (they
-    # are sliced off), and padded KEY positions would pollute the softmax —
-    # so mask them by padding K with a large negative contribution instead:
-    # simplest correct route: pad to block multiple and mask in-kernel is
-    # unnecessary because we pad T only for the QUERY grid; keys stay full.
+    # Only the QUERY axis is padded to a block multiple (the grid tiles over
+    # queries; keys/values stay at full length T, so the softmax sees no
+    # padded key positions and needs no mask). The padded query rows produce
+    # garbage that is sliced off below.
     pad_q = (-t) % block_q
     qh, kh, vh = to_bh(q), to_bh(k), to_bh(v)
     if pad_q:

@@ -51,23 +51,39 @@ def _tree_of(state) -> Dict[str, Any]:
 class CheckpointManagers:
     def __init__(self, output_path: str, keep: int = 3):
         self.output_path = os.path.abspath(output_path)
-        opts = ocp.CheckpointManagerOptions(max_to_keep=keep)
+        self.keep = keep
+        self._closed = True
+        self._open()
+
+    def _open(self) -> None:
+        opts = ocp.CheckpointManagerOptions(max_to_keep=self.keep)
         self.periodic = ocp.CheckpointManager(os.path.join(self.output_path, "model"), options=opts)
         self.best: Dict[str, ocp.CheckpointManager] = {}
         for name, mode in [("hmiou", "max"), ("ged", "min"), ("miou", "max")]:
             self.best[name] = ocp.CheckpointManager(
                 os.path.join(self.output_path, f"best_{name}"),
                 options=ocp.CheckpointManagerOptions(
-                    max_to_keep=keep,
+                    max_to_keep=self.keep,
                     best_fn=lambda m, k=name: m[k],
                     best_mode=mode,
                 ),
             )
+        self._closed = False
+
+    def _ensure_open(self) -> None:
+        # Orbax managers cannot save after close(); run() closes on every
+        # exit path, but standalone validate()/save calls after run() are a
+        # documented use-case — reopen lazily (managers resume from the
+        # on-disk checkpoint metadata, so best-score tracking survives).
+        if self._closed:
+            self._open()
 
     def save_periodic(self, state) -> None:
+        self._ensure_open()
         self.periodic.save(int(state.step), args=ocp.args.StandardSave(_tree_of(state)))
 
     def save_best(self, name: str, state, score: float) -> None:
+        self._ensure_open()
         self.best[name].save(
             int(state.step),
             args=ocp.args.StandardSave(_tree_of(state)),
@@ -88,12 +104,17 @@ class CheckpointManagers:
     def close(self):
         """Drain async saves and release manager resources. Skipping this can
         leave Orbax's metadata writer racing interpreter shutdown."""
+        if self._closed:
+            return
         self.wait()
         self.periodic.close()
         for m in self.best.values():
             m.close()
+        self._closed = True
 
     def wait(self):
+        if self._closed:
+            return
         self.periodic.wait_until_finished()
         for m in self.best.values():
             m.wait_until_finished()

@@ -250,6 +250,20 @@ class TrainingRun:
         ema = self.state.ema_params
         return ema["unet"] if self.encoder_apply is not None else ema
 
+    @staticmethod
+    def _agree_across_hosts(*scores: float) -> tuple:
+        """Broadcast metric values from process 0 so every host passes the
+        SAME score to Orbax's best_fn — any cross-host numeric divergence in
+        the metric computation would otherwise make hosts disagree on
+        should_save and hang the multihost save barrier."""
+        if jax.process_count() == 1:
+            return scores
+        from jax.experimental import multihost_utils
+
+        agreed = multihost_utils.broadcast_one_to_all(
+            np.asarray(scores, dtype=np.float64))
+        return tuple(float(x) for x in agreed)
+
     def validate(self) -> Dict[str, float]:
         params = self.params
         metrics: Dict[str, float] = {}
@@ -261,6 +275,7 @@ class TrainingRun:
                 val_bs, jax.random.fold_in(self.rng, int(self.state.step)),
                 max_batches=int(params.get("validation_max_batches", 0)) or None,
                 feature_fn=self._val_feature_fn())
+            ged, div, hmiou = self._agree_across_hosts(ged, div, hmiou)
             LOGGER.info("mean GED %.3f, mean diversity %.3f, HM-IoU %.3f", ged, div, hmiou)
             metrics.update(GED=ged, diversity=div, HMIoU=hmiou)
             if self.is_main:
@@ -269,7 +284,7 @@ class TrainingRun:
             self.checkpoints.save_best("ged", self.state, ged)
             self.checkpoints.save_best("hmiou", self.state, hmiou)
         else:
-            miou = self.validate_miou()
+            (miou,) = self._agree_across_hosts(self.validate_miou())
             LOGGER.info("val mIoU: %.4f", miou)
             metrics.update(mIoU=miou)
             if self.is_main:
@@ -376,19 +391,35 @@ class TrainingRun:
 
         step0 = int(self.state.step)
         total = 0
-        epoch = -1
+        # Resume parity (`trainer.py:374,582-586` checkpoints/restores the
+        # ignite engine's epoch+iteration position): the epoch position is
+        # DERIVED from the restored step count, the shuffle sequence continues
+        # from the interrupted epoch (skipping its already-consumed batches),
+        # and `max_epochs` is the TOTAL training budget — a resumed run does
+        # exactly the remaining work of an uninterrupted one.
+        spe = self.steps_per_epoch
+        start_epoch = step0 // spe if spe else 0
+        skip0 = step0 % spe if spe else 0
+        if step0:
+            LOGGER.info("resume position: step %d = epoch %d, batch %d/%d",
+                        step0, start_epoch, skip0, spe)
+        epoch = start_epoch - 1
         while True:
             epoch += 1
             # epoch budget: max_epochs normally; unbounded when an explicit
             # max_steps drives the loop (smoke tests, benchmarks)
             if max_steps is None and epoch >= max_epochs:
                 break
-            raw_it = self.loader.epoch(epoch)
+            resume_skip = skip0 if epoch == start_epoch else 0
+            raw_it = self.loader.epoch(epoch, start_batch=resume_skip)
             # keep only the tensors the jitted step consumes (datasets may
             # attach extra eval-only keys like 'label'/'original_labels')
             step_keys = ("image", "x0", "feature_condition")
             filtered = ({k: b[k] for k in step_keys if k in b} for b in raw_it)
-            k_launch = self.steps_per_launch
+            # the partial resumed epoch runs as single launches (grouping
+            # does not affect the trajectory — see make_multi_step — only
+            # dispatch amortisation, which a one-off partial epoch can skip)
+            k_launch = 1 if resume_skip else self.steps_per_launch
             if k_launch > 1:
                 # whole groups of K go through the multi-step launch; the
                 # epoch's tail (len(loader) % K batches) runs as single

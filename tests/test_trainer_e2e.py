@@ -67,6 +67,70 @@ def test_run_train_smoke(tmp_path, tiny_synthetic):
     assert int(state2.step) == 6  # 4 restored + 2 new
 
 
+def test_resume_trajectory_identical(tmp_path, tiny_synthetic):
+    """Engine-state resume parity (`ddpm/trainer.py:374,582-586`):
+    train(2 epochs) must be BIT-IDENTICAL to train-interrupted-mid-epoch +
+    resume — same epoch position, same continued shuffle sequence, and
+    max_epochs acting as the total budget."""
+    import jax
+
+    from ccdm_tpu.train.trainer import run_train
+
+    # 16 images / batch 8 -> 2 steps per epoch; 2 epochs = 4 steps total
+    base = dict(SMOKE_PARAMS, max_epochs=2, validation_freq=1000,
+                save_freq=1000, display_freq=1000)
+
+    state_a = run_train(dict(base, output_path=str(tmp_path / "a")))
+    assert int(state_a.step) == 4
+
+    # interrupted run: stop mid-epoch-1 (after 3 steps), checkpoint every step
+    state_b1 = run_train(dict(base, output_path=str(tmp_path / "b"),
+                              save_freq=1), max_steps=3)
+    assert int(state_b1.step) == 3
+    # resume with the SAME total budget; it must do exactly the remaining step
+    state_b2 = run_train(dict(base, output_path=str(tmp_path / "b2"),
+                              load_from=str(tmp_path / "b")))
+    assert int(state_b2.step) == 4, "max_epochs must be a total budget"
+
+    for name, a, b in (("params", state_a.params, state_b2.params),
+                       ("ema", state_a.ema_params, state_b2.ema_params)):
+        fa, fb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(fa) == len(fb)
+        for xa, xb in zip(fa, fb):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb),
+                                          err_msg=f"{name} diverged on resume")
+
+    # a run resumed at/after the budget does no further work
+    state_c = run_train(dict(base, output_path=str(tmp_path / "c"),
+                             load_from=str(tmp_path / "b2")))
+    assert int(state_c.step) == 4
+
+
+def test_checkpoint_save_after_close(tmp_path):
+    """run() closes the managers on exit, but standalone validate()/save
+    afterwards is a documented use-case — managers must reopen lazily
+    (same contract as MetricsLogger.log)."""
+    import jax.numpy as jnp
+    import optax
+
+    from ccdm_tpu.train.checkpoint import CheckpointManagers, load_tree
+    from ccdm_tpu.train.state import create_train_state
+
+    params = {"w": jnp.ones((3,))}
+    state = create_train_state(params, optax.sgd(1e-2))
+    mgrs = CheckpointManagers(str(tmp_path / "ckpt"))
+    mgrs.save_periodic(state)
+    mgrs.close()
+
+    # post-close saves must not raise and must land on disk
+    mgrs.save_best("ged", state.replace(step=state.step + 1), 0.5)
+    mgrs.save_periodic(state.replace(step=state.step + 2))
+    mgrs.close()
+    assert load_tree(str(tmp_path / "ckpt" / "best_ged"))["step"] == 1
+    assert load_tree(str(tmp_path / "ckpt" / "model"))["step"] == 2
+    mgrs.close()  # idempotent
+
+
 def test_invalid_loss_aborts(tmp_path, tiny_synthetic):
     """NaN-poisoned params must trigger the debug dump + raise."""
     import jax
