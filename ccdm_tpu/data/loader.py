@@ -90,8 +90,14 @@ class EpochLoader:
         return [order[b * self.local_batch:(b + 1) * self.local_batch]
                 for b in range(nb + (0 if self.drop_last or rem == 0 else 1))]
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate epoch `epoch`, optionally skipping the first `start_batch`
+        batches (mid-epoch resume: the skipped batches are never loaded, but
+        the permutation and per-sample augmentation streams are unchanged, so
+        a resumed run sees exactly the batches an uninterrupted run would)."""
         batches = self._batch_indices(epoch)
+        if start_batch:
+            batches = batches[start_batch:]
         if self.num_workers <= 0:
             for idx in batches:
                 yield self._load_batch(idx, epoch)
