@@ -47,10 +47,45 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+_CUBIC_A = -0.75  # torch's bicubic kernel coefficient (Keys, a = -0.75)
+
+
+def _torch_bicubic_matrix(in_size: int, out_size: int, src_scale: float) -> np.ndarray:
+    """Interpolation weights `[out, in]` replicating torch
+    `F.interpolate(mode='bicubic', align_corners=False,
+    recompute_scale_factor=False)` exactly: source coordinate
+    `(dst + 0.5) * src_scale - 0.5`, 4-tap Keys kernel with a = -0.75,
+    edge-clamped taps, NO antialiasing on downscale.
+
+    `jax.image.resize` can't express this (it uses a = -0.5 and always
+    antialiases when minifying), and the reference's `cdm_dino_256x512`
+    checkpoint was trained against torch's convention — so the exact sampling
+    is reproduced as a precomputed (static-shape) linear map.
+    """
+    a = _CUBIC_A
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        src = (i + 0.5) * src_scale - 0.5
+        f = np.floor(src)
+        t = src - f
+        coeffs = (
+            ((a * (t + 1) - 5 * a) * (t + 1) + 8 * a) * (t + 1) - 4 * a,
+            ((a + 2) * t - (a + 3)) * t * t + 1,
+            ((a + 2) * (1 - t) - (a + 3)) * (1 - t) * (1 - t) + 1,
+            ((a * (2 - t) - 5 * a) * (2 - t) + 8 * a) * (2 - t) - 4 * a,
+        )
+        for tap, c in zip((-1, 0, 1, 2), coeffs):
+            idx = int(np.clip(f + tap, 0, in_size - 1))
+            w[i, idx] += c
+    return w.astype(np.float32)
+
+
 def interpolate_pos_embed(pos_embed: jnp.ndarray, grid_hw: Tuple[int, int]) -> jnp.ndarray:
     """Bicubic-resize the (non-cls) position embeddings to a new token grid.
 
-    Parity: `_fix_pos_enc.interpolate_pos_encoding` (`dino.py:92-116`).
+    Parity: `_fix_pos_enc.interpolate_pos_encoding` (`dino.py:92-116`),
+    including DINO's `+ 0.1` scale-factor nudge (floating-point guard from
+    facebookresearch/dino#8) and torch's exact bicubic sampling.
     `pos_embed`: [1, 1 + N, D] with N a square grid.
     """
     cls_pe = pos_embed[:, :1]
@@ -62,7 +97,11 @@ def interpolate_pos_embed(pos_embed: jnp.ndarray, grid_hw: Tuple[int, int]) -> j
     if (h, w) == (side, side):
         return pos_embed
     grid = patch_pe.reshape(1, side, side, -1)
-    grid = jax.image.resize(grid, (1, h, w, grid.shape[-1]), method="bicubic")
+    # torch receives scale_factor (g + 0.1)/side and inverts it for sampling
+    wh = jnp.asarray(_torch_bicubic_matrix(side, h, side / (h + 0.1)))
+    ww = jnp.asarray(_torch_bicubic_matrix(side, w, side / (w + 0.1)))
+    grid = jnp.einsum("hs,bstd->bhtd", wh, grid)
+    grid = jnp.einsum("wt,bhtd->bhwd", ww, grid)
     return jnp.concatenate([cls_pe, grid.reshape(1, h * w, -1)], axis=1)
 
 
@@ -91,12 +130,21 @@ class ViTBlock(nn.Module):
         y2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         hdim = int(d * self.mlp_ratio)
         y2 = nn.Dense(hdim, dtype=self.dtype, name="mlp_fc1")(y2)
-        y2 = nn.Dense(d, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y2))
+        # exact erf GELU — torch nn.GELU default (flax defaults to tanh approx)
+        y2 = nn.Dense(d, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y2, approximate=False))
         x = x + y2
+
+        # Facet channel order parity: the reference flattens `[B, heads, T, dh]`
+        # as `permute(0, 2, 3, 1).flatten(-2, -1)` (`dino.py:303`), i.e.
+        # channel = dh_index * heads + head_index (head-MINOR). The converted
+        # `cdm_dino_256x512` UNet weights expect exactly that ordering.
+        def flat(z):  # [B,T,heads,dh] -> [B,T,dh*heads]
+            return z.transpose(0, 1, 3, 2).reshape(b, t, d)
+
         facets = {
-            "query": q.reshape(b, t, d),
-            "key": k.reshape(b, t, d),
-            "value": v.reshape(b, t, d),
+            "query": flat(q),
+            "key": flat(k),
+            "value": flat(v),
             "token": x,
         }
         return x, facets
@@ -112,6 +160,7 @@ class DinoViT(nn.Module):
     stride: int
     source_layer: int = 11
     facet: str = "key"
+    pretrain_size: int = 224  # image size of the pretrained pos-embed grid
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -129,7 +178,7 @@ class DinoViT(nn.Module):
 
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.embed_dim))
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, 1 + (224 // p) ** 2, self.embed_dim))
+                         (1, 1 + (self.pretrain_size // p) ** 2, self.embed_dim))
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
         x = x + interpolate_pos_embed(pos, (gh, gw)).astype(x.dtype)
 
@@ -158,6 +207,7 @@ class DinoFeatureEncoder:
             num_heads=cfg["num_heads"], patch_size=cfg["patch_size"],
             stride=self.stride,
             source_layer=int(fce_params.get("source_layer", 11)),
+            pretrain_size=int(cfg.get("pretrain_size", 224)),
         )
         self.channels = cfg["embed_dim"]
         self.trainable = bool(fce_params.get("train", False))
