@@ -1,9 +1,15 @@
 """Optimizer + learning-rate schedule construction (optax).
 
-Parity with `ddpm/optimizer.py:9-61` and the no-restart path of `LRFcts`
-(`ddpm/lr_functions.py:82-135`) — the reference always passes
-`lr_restart_steps = []` (`optimizer.py:48`), so the warm-restart machinery is
-dead config surface; only the no-restart schedules are live:
+Parity with `ddpm/optimizer.py:9-61` and `LRFcts`
+(`ddpm/lr_functions.py:5-139`). The reference always passes
+`lr_restart_steps = []` (`optimizer.py:48`) so its warm-restart machinery is
+dead config surface upstream; here it IS live — set
+`optim.lr_restart_steps: [s1, s2, ...]` (+ optional `lr_restart_vals`,
+scalar decay factor or explicit list) to get the reference's restart
+semantics (`lr_functions.py:16-80`) for static/exponential/polynomial/cosine
+schedules, as a pure jit-safe `step -> lr` function.
+
+The no-restart schedules:
 
 - `polynomial`: `coeff = (1 - step/(total-1))**power`,
   `mult = (1 - min_ratio)*coeff + min_ratio`, floored at `min_ratio`
@@ -50,6 +56,59 @@ def _polynomial_mult(min_ratio: float, power: float, total_steps: int) -> Callab
     return fn
 
 
+def _restart_mult(name: str, p: Dict[str, Any], restarts_cfg: list,
+                  restart_vals, total_steps: int, base_lr: float) -> Callable:
+    """Warm-restart multiplier (parity: `LRFcts.__init__`/`__call__` with
+    non-empty restarts, `lr_functions.py:16-80`): boundary 0 prepended, the
+    total appended with multiplier 0, scalar `lr_restart_vals` compounding
+    per restart (or an explicit list), each segment re-running the base
+    schedule from its own start over its own length."""
+    restarts = [int(r) for r in restarts_cfg]
+    if 0 not in restarts:
+        restarts.insert(0, 0)
+    vals = [1.0]
+    if isinstance(restart_vals, (int, float)):
+        for _ in range(1, len(restarts)):
+            vals.append(vals[-1] * float(restart_vals))
+    else:
+        assert len(restart_vals) == len(restarts) - 1, \
+            "lr_restart_vals list must have one entry per restart boundary"
+        vals.extend(float(v) for v in restart_vals)
+    if total_steps not in restarts:
+        restarts.append(total_steps)
+        vals.append(0.0)
+    lengths = [restarts[i + 1] - restarts[i] for i in range(len(restarts) - 1)] + [1]
+
+    r_arr = jnp.asarray(restarts, dtype=jnp.float32)
+    v_arr = jnp.asarray(vals, dtype=jnp.float32)
+    l_arr = jnp.asarray(lengths, dtype=jnp.float32)
+
+    if name == "static":
+        seg_fn = lambda base, since, seg_len: base  # noqa: E731
+    elif name == "exponential":
+        gamma = float(p.get("gamma", 0.98))
+        seg_fn = lambda base, since, seg_len: base * gamma ** since  # noqa: E731
+    elif name == "polynomial":
+        power = float(p.get("power", 1.0))
+        min_lr = float(p.get("min_lr", 0.0))
+        min_ratio = min_lr / base_lr if min_lr > 0 else 0.0
+
+        def seg_fn(base, since, seg_len):
+            coeff = jnp.maximum(1.0 - since / jnp.maximum(seg_len - 1.0, 1.0), 0.0) ** power
+            return jnp.maximum((base - min_ratio) * coeff + min_ratio, min_ratio)
+    elif name == "cosine":
+        def seg_fn(base, since, seg_len):
+            return base * 0.5 * (1.0 + jnp.cos(jnp.pi * since / seg_len))
+    else:
+        raise ValueError(f"lr_function {name!r} does not support lr_restart_steps")
+
+    def mult(step):
+        seg = jnp.clip(jnp.sum(step >= r_arr) - 1, 0, len(restarts) - 1)
+        return seg_fn(v_arr[seg], step - r_arr[seg], l_arr[seg])
+
+    return mult
+
+
 def build_lr_schedule(optim_params: Dict[str, Any], steps_per_epoch: int,
                       max_epochs: int = 1) -> Callable:
     """Return an absolute `step -> lr` schedule function."""
@@ -58,6 +117,13 @@ def build_lr_schedule(optim_params: Dict[str, Any], steps_per_epoch: int,
     p = dict(optim_params.get("lr_params") or {})
     epochs = int(optim_params.get("epochs", max_epochs))
     total_steps = max(steps_per_epoch * epochs, 1)
+
+    restarts = list(optim_params.get("lr_restart_steps") or [])
+    if restarts:
+        mult = _restart_mult(name, p, restarts,
+                             optim_params.get("lr_restart_vals", 1),
+                             total_steps, base_lr)
+        return lambda step: base_lr * mult(jnp.asarray(step, dtype=jnp.float32))
 
     if name is None or name == "static":
         mult = lambda step: jnp.asarray(1.0)  # noqa: E731
