@@ -116,12 +116,18 @@ class EpochLoader:
 
 
 def device_prefetch(it: Iterator, sharding=None, buffer_size: int = 2) -> Iterator:
-    """Asynchronously stage host batches onto the device(s)."""
+    """Asynchronously stage host batches onto the device(s).
+
+    Multi-process: each host feeds its local batch shard; the staged arrays
+    are global (see `parallel.mesh.put_local_batch`).
+    """
+    from ccdm_tpu.parallel.mesh import put_local_batch
+
     queue = collections.deque()
 
     def put(batch):
         if sharding is not None:
-            queue.append(jax.tree.map(lambda x: jax.device_put(x, sharding), batch))
+            queue.append(jax.tree.map(lambda x: put_local_batch(x, sharding), batch))
         else:
             queue.append(jax.tree.map(jax.device_put, batch))
 

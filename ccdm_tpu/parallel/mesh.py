@@ -107,7 +107,50 @@ def state_shardings(state, mesh: Mesh):
     )
 
 
+def put_replicated_global(x, sharding: NamedSharding):
+    """Place a host value every process holds IN FULL onto a (possibly
+    multi-process) mesh. Single-process: plain device_put. Multi-process:
+    `make_array_from_callback` hands each addressable device its slice of
+    the globally-consistent value (params, RNG keys, restored checkpoints)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def put_local_batch(x, sharding: NamedSharding):
+    """Stage a PROCESS-LOCAL batch shard as a global array.
+
+    Each process feeds its local slice of the global batch (EpochLoader's
+    process sharding, the DistributedSampler analogue); the resulting global
+    array concatenates all processes' shards along the batch dim. Global
+    sample order then differs from the single-process run by a within-batch
+    permutation, which the batch-mean loss is invariant to.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
 def shard_train_state(state, mesh: Mesh):
     """Place a TrainState onto the mesh according to `state_shardings`."""
     sh = state_shardings(state, mesh)
-    return jax.tree.map(jax.device_put, state, sh)
+    return jax.tree.map(put_replicated_global, state, sh)
+
+
+def host_local_copy(tree):
+    """Host-local numpy copy of a (possibly multi-process global) pytree.
+
+    Used to run validation/qualitative sampling as ordinary process-local
+    computation in multihost runs: replicated leaves read their local shard;
+    leaves sharded across hosts are allgathered.
+    """
+    def get(x):
+        try:
+            return np.asarray(x)
+        except RuntimeError:  # non-addressable shards (cross-host TP)
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    return jax.tree.map(get, tree)

@@ -56,7 +56,16 @@ class CheckpointManagers:
         self._open()
 
     def _open(self) -> None:
-        opts = ocp.CheckpointManagerOptions(max_to_keep=self.keep)
+        # distinct barrier namespaces per manager: several managers can save
+        # the SAME step in one validation pass (periodic + best_*), and
+        # Orbax's default multihost barrier keys would collide
+        # ("Barrier _async_write_complete.<step> is already ongoing")
+        def mp_opts(prefix):
+            return ocp.options.MultiprocessingOptions(
+                barrier_sync_key_prefix=prefix)
+
+        opts = ocp.CheckpointManagerOptions(
+            max_to_keep=self.keep, multiprocessing_options=mp_opts("periodic"))
         self.periodic = ocp.CheckpointManager(os.path.join(self.output_path, "model"), options=opts)
         self.best: Dict[str, ocp.CheckpointManager] = {}
         for name, mode in [("hmiou", "max"), ("ged", "min"), ("miou", "max")]:
@@ -66,6 +75,7 @@ class CheckpointManagers:
                     max_to_keep=self.keep,
                     best_fn=lambda m, k=name: m[k],
                     best_mode=mode,
+                    multiprocessing_options=mp_opts(f"best_{name}"),
                 ),
             )
         self._closed = False

@@ -42,6 +42,7 @@ from ccdm_tpu.parallel.mesh import (
     MeshConfig,
     batch_sharding,
     make_mesh,
+    put_replicated_global,
     replicated,
     shard_train_state,
     state_shardings,
@@ -102,7 +103,8 @@ class TrainingRun:
         self.params = params
         self.output_path = expanduservars(params.get("output_path", "./logs/run"))
         os.makedirs(self.output_path, exist_ok=True)
-        archive_code(self.output_path)
+        if jax.process_index() == 0:  # rank-0 I/O (utils.py:40-43 parity)
+            archive_code(self.output_path)
         LOGGER.info("experiment dir: %s", self.output_path)
         LOGGER.info("Training params:\n%s", pprint.pformat(params))
 
@@ -226,7 +228,7 @@ class TrainingRun:
                 out_shardings=(sh, self.rep),
                 donate_argnums=0,
             )
-        self.rng = jax.device_put(
+        self.rng = put_replicated_global(
             jax.random.PRNGKey(int(params.get("seed", 0)) + 1), self.rep)
         self.steps_per_epoch = steps_per_epoch
         self.is_main = jax.process_index() == 0
@@ -242,12 +244,29 @@ class TrainingRun:
             return lambda img: self.encoder_apply(enc_ema, img)
         return self.feature_fn
 
+    def _local_rng(self):
+        """Validation key usable in the process-LOCAL sampler jit: the
+        training rng is a global mesh array, which must not mix with local
+        arrays in one computation on multihost runs."""
+        if jax.process_count() > 1:
+            return jnp.asarray(np.asarray(self.rng))
+        return self.rng
+
     def ema_unwrap(self):
-        return self.state.ema_params
+        ema = self.state.ema_params
+        # multihost: validation/qualitative sampling run process-LOCALLY (on
+        # each host's own devices, identical inputs -> identical results), so
+        # the global train-state arrays are copied out of the mesh first;
+        # the SPMD program is only the train step itself
+        if jax.process_count() > 1:
+            from ccdm_tpu.parallel.mesh import host_local_copy
+
+            ema = host_local_copy(ema)
+        return ema
 
     def ema_unet(self):
         """EMA UNet params regardless of conditioning mode."""
-        ema = self.state.ema_params
+        ema = self.ema_unwrap()
         return ema["unet"] if self.encoder_apply is not None else ema
 
     @staticmethod
@@ -272,7 +291,7 @@ class TrainingRun:
             val_bs = max(1, self.batch_size // num_samples)
             ged, div, hmiou = compute_ged(
                 self.model, self.ema_unet(), self.val_ds, num_samples,
-                val_bs, jax.random.fold_in(self.rng, int(self.state.step)),
+                val_bs, jax.random.fold_in(self._local_rng(), int(self.state.step)),
                 max_batches=int(params.get("validation_max_batches", 0)) or None,
                 feature_fn=self._val_feature_fn())
             ged, div, hmiou = self._agree_across_hosts(ged, div, hmiou)
@@ -314,7 +333,7 @@ class TrainingRun:
             else:
                 true = np.stack([s["label"] for s in samples])
             preds = sampler(self.ema_unet(), jnp.asarray(images),
-                            jax.random.fold_in(self.rng, start))
+                            jax.random.fold_in(self._local_rng(), start))
             # prediction argmax spans all channels incl. the ignore class —
             # matching the reference's in-training CM (ignite ignore_index
             # only masks the reported vector, `trainer.py:398-407`); the
@@ -339,7 +358,7 @@ class TrainingRun:
         sampler = make_batched_sampler(self.model, num_samples=num_predictions,
                                        feature_fn=self._val_feature_fn())
         preds = np.asarray(sampler(self.ema_unet(), jnp.asarray(images),
-                                   jax.random.fold_in(self.rng, 123)))
+                                   jax.random.fold_in(self._local_rng(), 123)))
         grid = prediction_grid(images, labels, preds, self.num_classes)
         path = os.path.join(self.output_path, f"images_{int(self.state.step):06d}.png")
         return save_grid(grid, path)
