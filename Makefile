@@ -1,12 +1,21 @@
 # Developer entry points for ccdm_tpu
 
-.PHONY: test bench smoke native clean
+.PHONY: test bench bench-train smoke demo native clean
 
 test:
 	python -m pytest tests/ -x -q
 
 bench:
 	python bench.py
+
+bench-train:
+	BENCH_MODE=train python bench.py
+
+# quality-regression gate: 5000-step synthetic-data demo with pinned
+# GED/HM-IoU/Dice thresholds (TRAINING_DEMO.md protocol); DEMO_STEPS=800
+# for a quicker run with looser gates. Fails on regression.
+demo:
+	python scripts/demo_gate.py
 
 # end-to-end smoke: tiny synthetic train + eval through the CLIs
 smoke:

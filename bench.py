@@ -12,6 +12,9 @@ sampling cost on this host (see scripts/measure_reference_baseline.py ->
 BASELINE_MEASURED.json); absent that file it reports null.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+`BENCH_MODE=train` switches to the training-throughput benchmark
+(flagship train step, img/s/chip) — see `main_train`.
 """
 
 import json
@@ -21,6 +24,73 @@ import time
 
 # Ensure the repo root is importable regardless of cwd.
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main_train():
+    """BENCH_MODE=train: flagship train-step throughput (img/s).
+
+    Reproduces the PERFNOTES training table with one checked-in command:
+    K train steps scanned into one launch (`make_multi_step`) so the number
+    reflects on-device step time, not host dispatch through the tunnel.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import FLAGSHIP_PARAMS
+    from ccdm_tpu.models.builder import build_model
+    from ccdm_tpu.train.optimizer import build_optimizer
+    from ccdm_tpu.train.state import create_train_state
+    from ccdm_tpu.train.step import make_multi_step, make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", 16))
+    k_steps = int(os.environ.get("BENCH_K", 16))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    h = w = 128
+
+    model = build_model(FLAGSHIP_PARAMS, num_classes=2, image_channels=1,
+                        image_size=h)
+    params = model.init(jax.random.PRNGKey(0), (h, w, 1))
+    tx, sched = build_optimizer(FLAGSHIP_PARAMS, steps_per_epoch=1000)
+    state = create_train_state(
+        params, tx, polyak_alpha=float(FLAGSHIP_PARAMS["polyak_alpha"]))
+    step = jax.jit(make_multi_step(make_train_step(model, jnp.ones((2,)), sched)),
+                   donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    batches = {
+        "image": jnp.asarray(
+            rng.standard_normal((k_steps, batch, h, w, 1)).astype(np.float32)),
+        "x0": jnp.asarray(
+            np.eye(2, dtype=np.float32)[rng.integers(0, 2, (k_steps, batch, h, w))]),
+    }
+    key = jax.random.PRNGKey(1)
+
+    state, metrics = step(state, batches, key)  # warmup/compile
+    assert np.isfinite(float(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, metrics = step(state, batches, key)
+    float(metrics["loss"])  # force a real host readback
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = reps * k_steps * batch / dt
+    print(json.dumps({
+        "metric": "lidc_train_step_throughput",
+        "value": round(imgs_per_sec, 2),
+        "unit": "img/sec/chip",
+        "vs_baseline": None,
+        "config": {
+            "batch": batch, "steps_per_launch": k_steps, "reps": reps,
+            "ms_per_step": round(1e3 * dt / (reps * k_steps), 2),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
 
 
 def main():
@@ -92,4 +162,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "train":
+        main_train()
+    else:
+        main()
