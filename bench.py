@@ -115,9 +115,22 @@ def main():
     if os.environ.get("BENCH_INT8") == "1":
         # TPU-native int8 conv path (ops/quant.py) — opt-in
         params_cfg["quantized_inference"] = True
+    if os.environ.get("BENCH_STATIC_SCALE"):
+        # static-activation-scale cost model (see ops/quant.py knob)
+        from ccdm_tpu.ops import quant
+
+        quant.STATIC_ACTIVATION_SCALE = float(os.environ["BENCH_STATIC_SCALE"])
     model = build_model(params_cfg, num_classes=2, image_channels=1, image_size=h)
     params = model.init(jax.random.PRNGKey(0), (h, w, 1))
-    sampler = make_prob_sampler(model, num_samples, num_steps)
+    # multi-chip: shard the B*S generation batch over a data mesh (bitwise
+    # identical to single-device — tests/test_sharded_inference.py)
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and (num_images * num_samples) % n_dev == 0:
+        from ccdm_tpu.parallel.mesh import MeshConfig, make_mesh
+
+        mesh = make_mesh(MeshConfig(data=n_dev))
+    sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((num_images, h, w, 1)).astype(np.float32))
@@ -156,7 +169,7 @@ def main():
             "images": num_images, "samples_per_image": num_samples,
             "steps": num_steps, "resolution": h, "reps": reps,
             "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
+            "device": str(jax.devices()[0]), "n_devices": n_dev,
         },
     }))
 

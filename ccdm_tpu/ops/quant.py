@@ -34,6 +34,14 @@ def quantize_symmetric(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
 
 
+# Experiment knob (PERFNOTES.md "static vs dynamic activation scales"): when
+# set, activation quantization uses this FIXED per-tensor scale instead of
+# the in-graph absmax — the exact cost model of calibrated static scales
+# (same op graph, no absmax reduce). Bench-only; calibration infrastructure
+# is only worth building if this measures a material win.
+STATIC_ACTIVATION_SCALE: Optional[float] = None
+
+
 def quantized_conv(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -46,7 +54,10 @@ def quantized_conv(
     `x`: [B,H,W,Cin] (any float dtype); `kernel`: [kh,kw,Cin,Cout] fp32.
     Activation scale is per-tensor dynamic; weight scales per output channel.
     """
-    s_x = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0, 1e-8)
+    if STATIC_ACTIVATION_SCALE is not None:
+        s_x = jnp.float32(STATIC_ACTIVATION_SCALE)
+    else:
+        s_x = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0, 1e-8)
     x_q = quantize_symmetric(x, s_x)
     s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0, 1e-12)
     w_q = quantize_symmetric(kernel, s_w)

@@ -74,6 +74,8 @@ def main() -> None:
                         "attention_resolutions": [4], "num_head_channels": 4},
         "display_freq": 2,
         "save_freq": 2,
+        # K=2 launches exercise the stacked [K, B, ...] global staging path
+        "steps_per_launch": 2,
         # validation runs process-locally on a host-local EMA copy, then the
         # broadcast score drives the multihost best-checkpoint barrier
         "validation_freq": 4,
