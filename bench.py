@@ -112,11 +112,14 @@ def main():
     h = w = 128
 
     params_cfg = dict(FLAGSHIP_PARAMS, step_T_sample="confidence")
-    if os.environ.get("BENCH_INT8") == "1":
-        # TPU-native int8 conv path (ops/quant.py) — opt-in
+    int8_mode = os.environ.get("BENCH_INT8", "")
+    if int8_mode in ("1", "static"):
+        # TPU-native int8 conv path (ops/quant.py) — opt-in.
+        # BENCH_INT8=static additionally calibrates per-site activation
+        # scales (measured +8% over float; dynamic "1" mode is -12%).
         params_cfg["quantized_inference"] = True
     if os.environ.get("BENCH_STATIC_SCALE"):
-        # static-activation-scale cost model (see ops/quant.py knob)
+        # uniform static-activation-scale cost model (see ops/quant.py knob)
         from ccdm_tpu.ops import quant
 
         quant.STATIC_ACTIVATION_SCALE = float(os.environ["BENCH_STATIC_SCALE"])
@@ -135,6 +138,14 @@ def main():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((num_images, h, w, 1)).astype(np.float32))
     key = jax.random.PRNGKey(1)
+
+    if int8_mode == "static":
+        from ccdm_tpu.ops import quant
+
+        quant.set_static_scales(quant.calibrate_sampler(
+            model, params, images[:2], jax.random.PRNGKey(0)))
+        # rebuild so the baked scales enter a fresh trace
+        sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh)
 
     # warmup (compile); force a real host readback — through the axon tunnel
     # block_until_ready alone can return optimistically (PERFNOTES.md)

@@ -76,6 +76,17 @@ class CityscapesEvaluator:
         feature_fn, feature_shape = build_eval_feature_fn(self.params, image_shape)
         self.model_params = load_eval_params(self.params, self.model, image_shape,
                                              feature_shape)
+        if str(self.params.get("quantized_inference", "")).lower() == "static":
+            # calibrated static activation scales (ops/quant.py; on the wide
+            # Cityscapes config even DYNAMIC int8 wins 1.17x — static removes
+            # the absmax passes on top of that)
+            from ccdm_tpu.ops import quant
+
+            cal = np.stack([dataset.get(i, np.random.default_rng(i))["image"]
+                            for i in range(min(2, len(dataset)))])
+            quant.set_static_scales(quant.calibrate_sampler(
+                self.model, self.model_params, jnp.asarray(cal),
+                jax.random.PRNGKey(0), feature_fn=feature_fn))
         self.sampler = make_prob_sampler(self.model, self.num_evaluations,
                                          feature_fn=feature_fn)
 
@@ -181,7 +192,13 @@ def run_inference(params: Dict[str, Any]) -> Dict:
     )
     LOGGER.info("%d images in cityscapes validation set", len(dataset))
     ev = CityscapesEvaluator(params)
-    ev.build(dataset)
-    return ev.run(dataset, batch_size=int(params.get("batch_size", 2)),
-                  key=jax.random.PRNGKey(int(params.get("seed", 0))),
-                  max_images=params.get("max_images"))
+    try:
+        ev.build(dataset)
+        return ev.run(dataset, batch_size=int(params.get("batch_size", 2)),
+                      key=jax.random.PRNGKey(int(params.get("seed", 0))),
+                      max_images=params.get("max_images"))
+    finally:
+        # drop any calibrated static-int8 scales installed by build()
+        from ccdm_tpu.ops import quant
+
+        quant.set_static_scales(None)

@@ -140,6 +140,19 @@ def build_eval_feature_fn(params: Dict[str, Any], image_shape):
 
 def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = None,
                           model_params=None) -> Dict[str, Any]:
+    try:
+        return _eval_lidc_uncertainty_impl(params, num_steps, model_params)
+    finally:
+        # drop any calibrated static-int8 scales installed for this run so a
+        # later sampler in the same process starts clean
+        from ccdm_tpu.ops import quant
+
+        quant.set_static_scales(None)
+
+
+def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
+                                num_steps: Optional[int] = None,
+                                model_params=None) -> Dict[str, Any]:
     params = with_defaults(params)
     params.setdefault("step_T_sample", params.get("evaluation_vote_strategy", "confidence"))
     module = resolve_dataset_module(params["dataset_file"])
@@ -159,6 +172,19 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
     feature_fn, feature_shape = build_eval_feature_fn(params, image_shape)
     if model_params is None:
         model_params = load_eval_params(params, model, image_shape, feature_shape)
+
+    if str(params.get("quantized_inference", "")).lower() == "static":
+        # calibrated static activation scales: one short eager rollout on the
+        # first test images, then absmax tables baked into the compiled
+        # sampler (ops/quant.py; measured +8% over float vs -12% for the
+        # dynamic-scale mode on the flagship config — PERFNOTES.md)
+        from ccdm_tpu.ops import quant
+
+        n_cal = min(len(dataset), 2)
+        cal = jnp.asarray(np.stack([dataset.get(i)["image"] for i in range(n_cal)]))
+        quant.set_static_scales(quant.calibrate_sampler(
+            model, model_params, cal, jax.random.PRNGKey(0),
+            feature_fn=feature_fn))
 
     sampler = make_prob_sampler(model, max_samples, num_steps, feature_fn)
     batch_size = max(1, int(params.get("batch_size", 2)))

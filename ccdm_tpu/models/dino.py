@@ -207,6 +207,7 @@ class DinoFeatureEncoder:
             num_heads=cfg["num_heads"], patch_size=cfg["patch_size"],
             stride=self.stride,
             source_layer=int(fce_params.get("source_layer", 11)),
+            facet=str(fce_params.get("facet", "key")),
             pretrain_size=int(cfg.get("pretrain_size", 224)),
         )
         self.channels = cfg["embed_dim"]

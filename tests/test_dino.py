@@ -117,3 +117,29 @@ def test_dino_conditioned_unet_forward():
     # the conditioned block must actually consume extra channels
     res10_in = params["down_10_res"]["in_conv"]["kernel"].shape[2]
     assert res10_in > params["down_7_res"]["in_conv"]["kernel"].shape[2]
+
+
+def test_extract_descriptors_cli(tmp_path, monkeypatch):
+    """Standalone descriptor-extraction CLI (parity: `dino.py:355-381`)."""
+    import os
+    import sys
+
+    import numpy as np
+    from PIL import Image
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import extract_dino_descriptors as cli
+
+    img = tmp_path / "x.png"
+    Image.fromarray((np.random.default_rng(0).random((64, 96, 3)) * 255)
+                    .astype("uint8")).save(img)
+    out = tmp_path / "desc.npy"
+    monkeypatch.setattr(sys, "argv", [
+        "cli", "--image_path", str(img), "--output_path", str(out),
+        "--load_size", "64", "--stride", "8", "--facet", "value"])
+    cli.main()
+    desc = np.load(out)
+    # 64x96 -> load_size 64 on the short side -> 64x96; /8 token grid
+    assert desc.shape == (1, 8, 12, 384)
+    assert np.isfinite(desc).all()

@@ -47,3 +47,18 @@ def test_eval_sampling_speed_sweep(tiny_synthetic):
     res = eval_lidc_sampling_speed(dict(EVAL_PARAMS), step_sweep=[4, 2])
     assert set(res.keys()) == {4, 2}
     assert all("samples_per_sec" in r for r in res.values())
+
+
+def test_eval_lidc_uncertainty_static_int8(tiny_synthetic):
+    """`quantized_inference: static` auto-calibrates per-site activation
+    scales and runs the whole harness through the baked-scale int8 sampler."""
+    from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
+    from ccdm_tpu.ops import quant
+
+    try:
+        res = eval_lidc_uncertainty(dict(EVAL_PARAMS, quantized_inference="static"))
+    finally:
+        quant.set_static_scales(None)
+    assert res["count"] == 4
+    assert 0.0 <= res["GED_2"] <= 2.0
+    assert all(0.0 <= d <= 1.0 for d in res["Dice"])

@@ -105,3 +105,51 @@ def test_quantized_inference_rejected_for_training(tmp_path):
     }
     with pytest.raises(ValueError, match="inference-only"):
         TrainingRun(params)
+
+
+def test_static_scale_calibration_and_sampler():
+    """Calibrated static scales: eager rollout collects one absmax per conv
+    site, the baked-scale sampler runs finitely, and its output stays close
+    to the dynamic-int8 output (identical quantization grid up to the scale
+    estimate)."""
+    from ccdm_tpu.eval.lidc_uncertainty import make_prob_sampler
+    from ccdm_tpu.ops import quant
+
+    model = build_model(dict(PARAMS, quantized_inference=True,
+                             step_T_sample="confidence"),
+                        num_classes=2, image_channels=1, image_size=16)
+    params = model.init(jax.random.PRNGKey(0), (16, 16, 1))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((2, 16, 16, 1)), jnp.float32)
+
+    stats = quant.calibrate_sampler(model, params, images, jax.random.PRNGKey(3),
+                                    num_steps=3)
+    assert stats and all(v > 0 for v in stats.values())
+    # one entry per quantized conv site, path-addressed
+    assert all("/" in k or k for k in stats)
+
+    key = jax.random.PRNGKey(7)
+    dyn = np.asarray(make_prob_sampler(model, 2, 4)(params, images, key))
+    try:
+        quant.set_static_scales(stats)
+        stat = np.asarray(make_prob_sampler(model, 2, 4)(params, images, key))
+    finally:
+        quant.set_static_scales(None)
+    assert np.isfinite(stat).all()
+    assert stat.shape == dyn.shape
+    # same RNG, slightly different scales: distributions agree closely
+    assert float(np.mean(np.abs(stat - dyn))) < 0.15
+
+
+def test_calibration_rejects_jit():
+    from ccdm_tpu.ops import quant
+
+    x = jnp.ones((1, 8, 8, 4))
+    conv = QuantConv(4, (3, 3))
+    p = conv.init(jax.random.PRNGKey(0), x)
+
+    import pytest
+
+    with quant.calibration({}):
+        with pytest.raises(RuntimeError, match="eagerly"):
+            jax.jit(lambda v: conv.apply(p, v))(x)
