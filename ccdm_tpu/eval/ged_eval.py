@@ -63,10 +63,18 @@ def compute_ged(
     num_steps: Optional[int] = None,
     max_batches: Optional[int] = None,
     feature_fn=None,
+    process_index: int = 0,
+    process_count: int = 1,
 ):
     """Mean (GED, sample diversity, HM-IoU) over the dataset.
 
     `dataset` yields eval-protocol samples `{'image','labels'[A,H,W,C],...}`.
+
+    Multi-host: with `process_count > 1` each host scores only its strided
+    slice `dataset[process_index::process_count]` on its OWN devices (no
+    SPMD program), and the partial sums are combined once at the end with a
+    single allgather — validation wall-time scales down with host count and
+    every host returns the identical global means.
     """
     num_classes = model.diffusion.num_classes
     sampler = make_batched_sampler(model, num_samples, num_steps, feature_fn)
@@ -74,20 +82,24 @@ def compute_ged(
     total_ged = total_div = total_hm = 0.0
     count = 0
     n = len(dataset)
+    my_indices = list(range(n))[process_index::process_count]
     bs = max(1, min(batch_size, n))
-    for bi, start in enumerate(range(0, n, bs)):
+    for bi, start in enumerate(range(0, len(my_indices), bs)):
         if max_batches is not None and bi >= max_batches:
             break
+        chunk = my_indices[start:start + bs]
+        real = len(chunk)
         # pad the tail batch (repeat last image) so the compiled sampler
         # keeps one shape; only the real entries are scored
-        real = min(bs, n - start)
-        idx = list(range(start, start + real)) + [start + real - 1] * (bs - real)
+        idx = chunk + [chunk[-1]] * (bs - real)
         samples = [dataset.get(i) for i in idx]
         images = np.stack([s["image"] for s in samples])
         labels = np.stack([s["labels"] for s in samples[:real]])  # [B,A,H,W,C]
         refs = np.argmax(labels, axis=-1).astype(np.int32)
 
-        key, sub = jax.random.split(key)
+        # per-batch key from the GLOBAL dataset position: shard-layout
+        # independent (the same image gets the same draw for any host count)
+        sub = jax.random.fold_in(key, chunk[0])
         preds = sampler(params, jnp.asarray(images), sub)[:real]  # [B,S,H,W]
 
         ged, div_s, _ = generalised_energy_distance(preds, jnp.asarray(refs), num_classes)
@@ -96,6 +108,14 @@ def compute_ged(
         total_div += float(np.sum(div_s))
         total_hm += float(np.sum(hm))
         count += real
+
+    if process_count > 1:
+        from jax.experimental import multihost_utils
+
+        parts = multihost_utils.process_allgather(
+            np.asarray([total_ged, total_div, total_hm, float(count)],
+                       dtype=np.float64))
+        total_ged, total_div, total_hm, count = [float(x) for x in parts.sum(axis=0)]
 
     if count == 0:
         raise ValueError("empty validation dataset")

@@ -54,7 +54,14 @@ class DenoisingModel:
         return self.unet.init({"params": key}, xt, cond, t, fc)["params"]
 
     def apply(self, params, xt, condition, t, feature_condition=None, *,
-              deterministic: bool = True, rngs=None) -> dict:
+              deterministic: bool = True, rngs=None, mutable=None) -> dict:
+        if mutable is not None:
+            # returns (outputs, mutated_vars) — used by int8 scale
+            # calibration to collect "quant_stats" (ops/quant.py)
+            return self.unet.apply({"params": params}, xt, condition, t,
+                                   feature_condition,
+                                   deterministic=deterministic, rngs=rngs,
+                                   mutable=mutable)
         return self.unet.apply({"params": params}, xt, condition, t, feature_condition,
                                deterministic=deterministic, rngs=rngs)
 

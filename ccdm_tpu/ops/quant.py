@@ -22,7 +22,6 @@ float path; quantization noise is re-sampled away by the ancestral chain
 
 from __future__ import annotations
 
-import contextlib
 import logging
 from typing import Dict, Optional, Sequence, Tuple, Union
 
@@ -52,8 +51,6 @@ STATIC_ACTIVATION_SCALE: Optional[float] = None
 # its fusion-breaking HBM pass disappear (measured +8% end-to-end on the
 # flagship sampler vs the float path; dynamic scales are -12%).
 _STATIC_SCALES: Optional[Dict[str, float]] = None
-# Active collector for eager calibration passes: {module path -> absmax}.
-_CALIB_STATS: Optional[Dict[str, float]] = None
 
 
 def set_static_scales(scales: Optional[Dict[str, float]]) -> None:
@@ -67,46 +64,42 @@ def set_static_scales(scales: Optional[Dict[str, float]]) -> None:
     _STATIC_SCALES = dict(scales) if scales is not None else None
 
 
-@contextlib.contextmanager
-def calibration(stats: Dict[str, float]):
-    """Collect per-conv activation absmax into `stats` during EAGER forward
-    passes (quantization itself is bypassed so statistics are float-exact).
-    Raises if a pass runs under jit — tracing yields no concrete values."""
-    global _CALIB_STATS
-    _CALIB_STATS = stats
-    try:
-        yield stats
-    finally:
-        _CALIB_STATS = None
-
-
 def calibrate_sampler(model, params, images: jnp.ndarray, key: jax.Array,
                       num_steps: int = 8, feature_fn=None) -> Dict[str, float]:
-    """Per-conv-site activation absmax from a short EAGER ancestral rollout.
+    """Per-conv-site activation absmax from a short ancestral rollout.
 
     Runs `num_steps` subsampled reverse steps (the real sampler recurrence,
     so conv inputs see their true per-step distributions) on the calibration
-    `images` with statistics collection on. Returns the scales table for
-    `set_static_scales`. A handful of images and ~8 steps is plenty: the
-    GN-normalised conv inputs are tightly concentrated.
+    `images`. Each forward is ONE jitted launch with a mutable "quant_stats"
+    collection: QuantConv sows its input absmax (and runs the float conv so
+    downstream statistics are exact). A handful of images and ~8 steps is
+    plenty: the GN-normalised conv inputs are tightly concentrated.
+    Returns the scales table for `set_static_scales`.
     """
     from ccdm_tpu.diffusion.categorical import sample_onehot, theta_post_prob
     from ccdm_tpu.diffusion.sampling import sample_prior, subsampled_t_values
 
-    stats: Dict[str, float] = {}
     num_steps = min(num_steps, model.time_steps)
     b, h, w, _ = images.shape
     fc = feature_fn(images) if feature_fn is not None else None
-    denoise = model.denoise_fn(params, images, fc)
-    with calibration(stats):
-        xt = sample_prior(key, b, h, w, model.diffusion.num_classes)
-        for i, t_s in enumerate(subsampled_t_values(model.time_steps, num_steps)):
-            t = jnp.full((b,), int(t_s), jnp.int32)
-            p0 = denoise(xt, t)
-            probs = jnp.clip(
-                theta_post_prob(model.diffusion, xt, p0.astype(jnp.float32), t),
-                min=1e-12)
-            xt = sample_onehot(jax.random.fold_in(key, i), probs)
+
+    @jax.jit
+    def cal_step(xt, t, step_key):
+        ret, mutated = model.apply(params, xt, images, t, fc,
+                                   mutable=["quant_stats"])
+        p0 = ret["diffusion_out"].astype(jnp.float32)
+        probs = jnp.clip(theta_post_prob(model.diffusion, xt, p0, t), min=1e-12)
+        return sample_onehot(step_key, probs), mutated["quant_stats"]
+
+    stats: Dict[str, float] = {}
+    xt = sample_prior(key, b, h, w, model.diffusion.num_classes)
+    for i, t_s in enumerate(subsampled_t_values(model.time_steps, num_steps)):
+        t = jnp.full((b,), int(t_s), jnp.int32)
+        xt, qs = cal_step(xt, t, jax.random.fold_in(key, i))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(qs)[0]:
+            site = "/".join(str(getattr(k, "key", k)) for k in path)
+            site = site.removesuffix("/act_absmax")
+            stats[site] = max(stats.get(site, 0.0), float(leaf))
     LOGGER.info("calibrated %d quantized conv sites over %d sampler steps",
                 len(stats), num_steps)
     return stats
@@ -167,15 +160,13 @@ class QuantConv(nn.Module):
         kernel = self.param("kernel", self.kernel_init,
                             (kh, kw, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        site = "/".join(self.path)
-        if _CALIB_STATS is not None:
-            a = jnp.max(jnp.abs(x.astype(jnp.float32)))
-            if isinstance(a, jax.core.Tracer):
-                raise RuntimeError(
-                    "quant calibration must run eagerly (outside jit); see "
-                    "calibrate_sampler")
-            _CALIB_STATS[site] = max(_CALIB_STATS.get(site, 0.0), float(a))
-            # float conv during calibration: downstream sites see exact stats
+        if self.is_mutable_collection("quant_stats"):
+            # calibration pass (jit-safe): sow the input absmax, run the
+            # FLOAT conv so downstream sites see exact statistics
+            self.sow("quant_stats", "act_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.asarray(0.0, jnp.float32))
             dn = jax.lax.conv_dimension_numbers(
                 x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
             y = jax.lax.conv_general_dilated(
@@ -183,7 +174,9 @@ class QuantConv(nn.Module):
                 dimension_numbers=dn)
             return (y + bias).astype(x.dtype)
         act_scale = None
-        if _STATIC_SCALES is not None and site in _STATIC_SCALES:
-            act_scale = max(_STATIC_SCALES[site], 1e-8) / 127.0
+        if _STATIC_SCALES is not None:
+            site = "/".join(self.path)
+            if site in _STATIC_SCALES:
+                act_scale = max(_STATIC_SCALES[site], 1e-8) / 127.0
         return quantized_conv(x, kernel, bias, self.strides, self.padding,
                               act_scale=act_scale)

@@ -293,7 +293,10 @@ class TrainingRun:
                 self.model, self.ema_unet(), self.val_ds, num_samples,
                 val_bs, jax.random.fold_in(self._local_rng(), int(self.state.step)),
                 max_batches=int(params.get("validation_max_batches", 0)) or None,
-                feature_fn=self._val_feature_fn())
+                feature_fn=self._val_feature_fn(),
+                # each host scores its slice of the val set; combined means
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
             ged, div, hmiou = self._agree_across_hosts(ged, div, hmiou)
             LOGGER.info("mean GED %.3f, mean diversity %.3f, HM-IoU %.3f", ged, div, hmiou)
             metrics.update(GED=ged, diversity=div, HMIoU=hmiou)

@@ -141,15 +141,24 @@ def test_static_scale_calibration_and_sampler():
     assert float(np.mean(np.abs(stat - dyn))) < 0.15
 
 
-def test_calibration_rejects_jit():
-    from ccdm_tpu.ops import quant
-
-    x = jnp.ones((1, 8, 8, 4))
+def test_calibration_collection_is_jit_safe():
+    """Calibration runs inside jit: the mutable 'quant_stats' collection sows
+    a running per-site absmax and the conv falls back to the exact float
+    path during the pass."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
     conv = QuantConv(4, (3, 3))
     p = conv.init(jax.random.PRNGKey(0), x)
 
-    import pytest
+    @jax.jit
+    def run(v):
+        return conv.apply(p, v, mutable=["quant_stats"])
 
-    with quant.calibration({}):
-        with pytest.raises(RuntimeError, match="eagerly"):
-            jax.jit(lambda v: conv.apply(p, v))(x)
+    out, mutated = run(x)
+    leaves = jax.tree.leaves(mutated["quant_stats"])
+    assert len(leaves) == 1
+    np.testing.assert_allclose(float(leaves[0]), float(jnp.max(jnp.abs(x))),
+                               rtol=1e-6)
+    # float path during calibration (no int8 rounding error)
+    ref = nn.Conv(4, (3, 3), padding=((1, 1), (1, 1))).apply(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
