@@ -12,6 +12,12 @@ Parity: `evaluation/evaluate_lidc_uncertainty.py` —
   masks are excluded, matching the reference exactly
 - the EMA ("average_model") weights are evaluated (`:138-143`)
 
+Scaling: single-process multi-chip runs shard the B*S generation batch over
+a local device mesh; multi-process runs give each host a strided slice of
+the test set and combine partial sums with one allgather (per-batch sampling
+keys derive from global dataset positions, so every host count scores the
+same draws per image).
+
 Returns a metrics dict; the CLI logs it in the reference's format.
 """
 
@@ -186,8 +192,25 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
             model, model_params, cal, jax.random.PRNGKey(0),
             feature_fn=feature_fn))
 
-    sampler = make_prob_sampler(model, max_samples, num_steps, feature_fn)
+    # single-process multi-chip: shard the B*S generation batch over a local
+    # mesh (the same layout bench.py uses); multi-process: each host scores
+    # its strided slice of the test set instead (see below), so the local
+    # computation stays unsharded
+    mesh = None
+    pidx, pcnt = jax.process_index(), jax.process_count()
     batch_size = max(1, int(params.get("batch_size", 2)))
+    n = len(dataset)
+    batch_size = min(batch_size, max(n, 1))
+    if pcnt == 1 and len(jax.local_devices()) > 1:
+        ndev = len(jax.local_devices())
+        if (batch_size * max_samples) % ndev == 0:
+            from ccdm_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            LOGGER.info("sharding the %dx%d generation batch over %d chips",
+                        batch_size, max_samples, ndev)
+    sampler = make_prob_sampler(model, max_samples, num_steps, feature_fn,
+                                mesh=mesh)
     key = jax.random.PRNGKey(int(params.get("seed", 0)))
 
     geds = np.zeros(len(evaluations))
@@ -195,24 +218,29 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
     div_experts = np.zeros(len(evaluations))
     hm_ious = np.zeros(len(evaluations))
     cm = ConfusionMatrix(num_classes)
+    num_annotators = first["labels"].shape[0]
     nonzero_total = 0
     count = 0
     batch_seconds: List[float] = []
     batch_real: List[int] = []
 
-    n = len(dataset)
-    batch_size = min(batch_size, max(n, 1))
-    for start in range(0, n, batch_size):
+    # multi-host: strided slice per host, combined by a single allgather at
+    # the end (same layout-independence discipline as eval/ged_eval.py:
+    # per-batch keys derive from GLOBAL dataset positions, so every host
+    # count produces the same draws per image)
+    my_indices = list(range(n))[pidx::pcnt]
+    for start in range(0, len(my_indices), batch_size):
         # pad the tail batch by repeating the last image so the compiled
         # sampler keeps one shape; only the `real` entries enter the metrics
-        real = min(batch_size, n - start)
-        idx = list(range(start, start + real)) + [start + real - 1] * (batch_size - real)
+        chunk = my_indices[start:start + batch_size]
+        real = len(chunk)
+        idx = chunk + [chunk[-1]] * (batch_size - real)
         samples = [dataset.get(i) for i in idx]
         images = jnp.asarray(np.stack([s["image"] for s in samples]))
         labels = np.stack([s["labels"][...] for s in samples[:real]])  # [B,A,H,W,C]
         refs = np.argmax(labels, axis=-1).astype(np.int32)  # [B,A,H,W]
 
-        key, sub = jax.random.split(key)
+        sub = jax.random.fold_in(key, chunk[0])
         t0 = time.perf_counter()
         probs = sampler(model_params, images, sub)  # [B,S,H,W,C]
         probs.block_until_ready()
@@ -241,8 +269,6 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
                     cm.update(mean_pred[b], refs[b, a])
         count += real
 
-    if count == 0:
-        raise ValueError(f"empty test dataset ({n} images)")
     # steady-state throughput: the first batch pays the XLA compile, so
     # exclude it whenever a second batch exists; count only REAL samples
     # (the padded tail images are duplicated work, not generated output)
@@ -250,11 +276,44 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
     steady = list(zip(batch_seconds, batch_real))
     if len(steady) > 1:
         steady = steady[1:]
-    steady_rate = (sum(r for _, r in steady) * max_samples) / max(
-        sum(s for s, _ in steady), 1e-9)
+    steady_samples = sum(r for _, r in steady) * max_samples
+    steady_seconds = sum(s for s, _ in steady)
+
+    if pcnt > 1:
+        # one allgather combines every host's partial sums; hosts ran in
+        # parallel, so aggregate throughput divides by the SLOWEST host
+        from jax.experimental import multihost_utils
+
+        scalars = np.concatenate([
+            geds, div_samples, div_experts, hm_ious,
+            cm.matrix.reshape(-1).astype(np.float64),
+            [float(count), float(nonzero_total), float(steady_samples),
+             float(gen_seconds)],
+        ]).astype(np.float64)
+        # x64 transport: without it the gather silently truncates the f64
+        # partial sums (incl. integer CM counts beyond 2^24) to f32
+        with jax.enable_x64(True):
+            parts = np.asarray(multihost_utils.process_allgather(scalars))
+        summed = parts.sum(axis=0)
+        e = len(evaluations)
+        geds, div_samples = summed[:e], summed[e:2 * e]
+        div_experts, hm_ious = summed[2 * e:3 * e], summed[3 * e:4 * e]
+        cm.matrix = summed[4 * e:4 * e + num_classes ** 2].reshape(
+            num_classes, num_classes).astype(cm.matrix.dtype)
+        count, nonzero_total, steady_samples, gen_seconds = (
+            float(v) for v in summed[-4:])
+        count = int(count)
+        with jax.enable_x64(True):
+            secs = multihost_utils.process_allgather(
+                np.asarray([steady_seconds], dtype=np.float64))
+        steady_seconds = float(secs.max())
+
+    if count == 0:
+        raise ValueError(f"empty test dataset ({n} images)")
+    steady_rate = float(steady_samples) / max(float(steady_seconds), 1e-9)
     results: Dict[str, Any] = {
         "count": count,
-        "nonzero_fraction": nonzero_total / max(count * labels.shape[1], 1),
+        "nonzero_fraction": nonzero_total / max(count * num_annotators, 1),
         "mIoU": cm.miou(),
         "IoU": cm.iou().tolist(),
         "Dice": cm.dice().tolist(),
@@ -278,9 +337,10 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
         LOGGER.info("HM IoU (%d): %.4g", s, results[f"HMIoU_{s}"])
     LOGGER.info("samples/sec: %.2f", results["samples_per_sec"])
 
-    # persist results (parity: `evaluation_path`, params_eval.yml:2)
+    # persist results (parity: `evaluation_path`, params_eval.yml:2);
+    # every host holds the identical combined results — process 0 writes
     out_dir = params.get("evaluation_path") or params.get("output_path")
-    if out_dir:
+    if out_dir and pidx == 0:
         import json
         import os
 

@@ -146,6 +146,9 @@ class ViTBlock(nn.Module):
             "key": flat(k),
             "value": flat(v),
             "token": x,
+            # post-softmax attention [B, heads, T, T] — the reference captures
+            # it after `attn_drop` (identity at eval), `dino.py:195-196`
+            "attn": attn,
         }
         return x, facets
 
@@ -164,8 +167,22 @@ class DinoViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        """images: [B,H,W,3] ImageNet-normalised. Returns [B,h',w',D]."""
+    def __call__(self, images: jnp.ndarray, facet: Optional[str] = None,
+                 layers: Optional[Tuple[int, ...]] = None):
+        """images: [B,H,W,3] ImageNet-normalised.
+
+        `facet`/`layers` are static overrides of the module defaults.
+        Returns [B,h',w',D] for spatial facets ('key'/'query'/'value'/'token'),
+        or the raw post-softmax attention [B, heads, 1+h'w', 1+h'w'] for
+        facet='attn' (the reference's `_extract_features(..., 'attn')` shape,
+        `dino.py:219-221` — used by saliency maps, `dino.py:326-340`).
+        With `layers` (the reference's multi-layer `extract_descriptors`
+        path, `dino.py:311-324`) a list of per-layer results is returned.
+        """
+        facet = facet or self.facet
+        capture = tuple(layers) if layers is not None else (self.source_layer,)
+        assert all(0 <= l < self.depth for l in capture), \
+            f"capture layers {capture} out of range for depth {self.depth}"
         b, h, w, _ = images.shape
         p, s = self.patch_size, self.stride
         assert p % s == 0 or s == p, f"stride {s} must divide patch {p}"
@@ -182,14 +199,74 @@ class DinoViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
         x = x + interpolate_pos_embed(pos, (gh, gw)).astype(x.dtype)
 
-        feat = None
+        grabbed = {}
         for i in range(self.depth):
             x, facets = ViTBlock(self.num_heads, dtype=self.dtype, name=f"block_{i}")(x)
-            if i == self.source_layer:
-                feat = facets[self.facet]
-        assert feat is not None, f"source_layer {self.source_layer} >= depth {self.depth}"
-        feat = feat[:, 1:]  # drop cls (dino.py:298)
-        return feat.reshape(b, gh, gw, self.embed_dim)
+            if i in capture:
+                grabbed[i] = facets[facet]
+        if facet == "attn":
+            outs = [grabbed[i] for i in capture]  # [B, heads, T, T]
+        else:
+            # drop cls (dino.py:298) and fold back to the token grid
+            outs = [grabbed[i][:, 1:].reshape(b, gh, gw, self.embed_dim)
+                    for i in capture]
+        return outs if layers is not None else outs[0]
+
+
+def log_bin_descriptors(feats: jnp.ndarray, hierarchy: int = 2) -> jnp.ndarray:
+    """Log-binned descriptors over a token-grid facet map.
+
+    Parity: `ViTExtractor._log_bin` (`dino.py:231-277`) — per spatial
+    location, `1 + 8*hierarchy` bins: level k pools with a 3^k average
+    (edge counts exclude padding, torch `count_include_pad=False`) sampled
+    at the 3x3 ring of offsets `{-3^k, 0, 3^k}` (row-major; the center bin
+    only at k=0), out-of-range offsets edge-clamped. Channel layout is
+    bin-major blocks of D, matching the reference's
+    `[:, part_idx*d:(part_idx+1)*d]` fill order.
+
+    NOTE: in the upstream CLI `--bin` never reaches `_log_bin` — the
+    `extract_descriptors(batch, layer, facet, bin)` call lands on the
+    `include_cls` parameter (`dino.py:279-285,378`), so upstream `_log_bin`
+    is dead code. It is implemented for real here.
+
+    TPU-style: the reference's O(H*W*bins) Python loop over pixels becomes
+    vectorized clipped-index gathers of the pooled maps — no per-pixel code.
+
+    feats: [B, gh, gw, D] channels-last.  Returns [B, gh, gw, D*(1+8*h)].
+    """
+    b, gh, gw, d = feats.shape
+    f32 = feats.astype(jnp.float32)
+
+    pools = []
+    for k in range(hierarchy):
+        win = 3 ** k
+        if win == 1:
+            pools.append(f32)
+            continue
+        ones = jnp.ones((1, gh, gw, 1), jnp.float32)
+        sums = jax.lax.reduce_window(
+            f32, 0.0, jax.lax.add, (1, win, win, 1), (1, 1, 1, 1), "SAME")
+        counts = jax.lax.reduce_window(
+            ones, 0.0, jax.lax.add, (1, win, win, 1), (1, 1, 1, 1), "SAME")
+        pools.append(sums / counts)
+
+    ys = np.arange(gh)
+    xs = np.arange(gw)
+    parts = []
+    for k in range(hierarchy):
+        step = 3 ** k
+        for di in (-step, 0, step):
+            for dj in (-step, 0, step):
+                if di == 0 and dj == 0 and k != 0:
+                    continue
+                iy = np.clip(ys + di, 0, gh - 1)
+                ix = np.clip(xs + dj, 0, gw - 1)
+                parts.append(pools[k][:, iy][:, :, ix])
+    return jnp.concatenate(parts, axis=-1).astype(feats.dtype)
+
+
+# heads averaged for saliency, `dino.py:336` (dino_vits8-specific)
+SALIENCY_HEAD_IDXS = (0, 2, 4, 5)
 
 
 class DinoFeatureEncoder:
@@ -233,6 +310,55 @@ class DinoFeatureEncoder:
         if not self.trainable:
             feats = jax.lax.stop_gradient(feats)
         return feats
+
+    def extract_descriptors(self, params, images: jnp.ndarray,
+                            layers=None, facet: Optional[str] = None,
+                            resize_shape: Optional[Tuple[int, int]] = None,
+                            log_bin: bool = False):
+        """Reference `ViTExtractor.extract_descriptors` (`dino.py:279-324`).
+
+        `layers` an int (or None = configured layer) returns one [B,h',w',D]
+        map bilinear-resized to `resize_shape` (default H//stride, W//stride,
+        `dino.py:303-307`); a list returns per-layer maps (resized only when
+        `resize_shape` is given, `dino.py:311-324`). `log_bin=True` applies
+        `log_bin_descriptors` to the raw token grid first (the upstream
+        `--bin` intent; see the NOTE there).
+        """
+        facet = facet or self.module.facet
+        assert facet in ("key", "query", "value", "token"), (
+            f"{facet} is not a supported facet for descriptors")  # dino.py:290
+        multi = isinstance(layers, (list, tuple))
+        capture = tuple(layers) if multi else (
+            (self.module.source_layer,) if layers is None else (int(layers),))
+        grids = self.module.apply({"params": params}, images,
+                                  facet=facet, layers=capture)
+        if log_bin:
+            grids = [log_bin_descriptors(g) for g in grids]
+        h, w = images.shape[1:3]
+        target = resize_shape or (h // self.stride, w // self.stride)
+        out = []
+        for g in grids:
+            b, gh, gw, d = g.shape
+            if multi and resize_shape is None:
+                out.append(g)  # multi-layer path resizes only on request
+            elif (gh, gw) != target:
+                out.append(jax.image.resize(g, (b, *target, d), method="bilinear"))
+            else:
+                out.append(g)
+        return out if multi else out[0]
+
+    def extract_saliency_maps(self, params, images: jnp.ndarray) -> jnp.ndarray:
+        """Reference `ViTExtractor.extract_saliency_maps` (`dino.py:326-340`):
+        cls-token attention of the last block, averaged over heads
+        {0,2,4,5}, min-max normalised per image. Returns [B, tokens-1]."""
+        assert self.name == "dino_vits8", (
+            "saliency maps are supported only for dino_vits model_type")
+        attn = self.module.apply({"params": params}, images, facet="attn",
+                                 layers=(self.module.depth - 1,))[0]
+        cls_attn = attn[:, jnp.asarray(SALIENCY_HEAD_IDXS), 0, 1:].mean(axis=1)
+        lo = cls_attn.min(axis=1, keepdims=True)
+        hi = cls_attn.max(axis=1, keepdims=True)
+        return (cls_attn - lo) / (hi - lo)
 
 
 def load_dino_npz(npz_path: str, params):

@@ -142,11 +142,20 @@ def load_tree(path: str, step: Optional[int] = None) -> Dict[str, Any]:
     """Restore the raw checkpoint tree (no template). Used by eval harnesses
     that only need `average_model` (parity: eval-side loading,
     `evaluate_lidc_uncertainty.py:138-143,157-161`)."""
-    mgr = ocp.CheckpointManager(_resolve_manager_dir(path))
+    mgr_dir = _resolve_manager_dir(path)
+    mgr = ocp.CheckpointManager(mgr_dir)
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint steps under {path!r}")
-    return mgr.restore(step, args=ocp.args.StandardRestore())
+    # restore to host numpy (not the saved shardings): a checkpoint written
+    # by an N-process mesh must load on any later topology — the caller
+    # re-shards onto its own devices
+    ckptr = ocp.PyTreeCheckpointer()
+    item_dir = os.path.join(str(mgr_dir), str(step), "default")
+    meta_tree = ckptr.metadata(item_dir).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
+    return ckptr.restore(item_dir, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
 def load_checkpoint(path: str, state, step: Optional[int] = None):

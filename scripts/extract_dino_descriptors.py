@@ -11,8 +11,12 @@ feature map with the Flax extractor, and saves it as .npy (channels-last
         [--load_size 224] [--stride 4] [--model_type dino_vits8] \
         [--facet key] [--layer 11]
 
-Log-binned descriptors (`--bin` upstream) are not supported: they are unused
-by CCDM (SURVEY.md #8) and deliberately absent from the extractor.
+`--bin` applies REAL log-binned descriptors (`_log_bin`, reference
+dino.py:231-277). Note the upstream CLI's `--bin` never reaches `_log_bin`:
+the positional call at dino.py:378 lands on `include_cls` (signature
+mismatch) — here the flag does what its help text promises. `--saliency`
+writes the cls-attention saliency map (reference dino.py:326-340) instead
+of descriptors.
 """
 
 import argparse
@@ -55,6 +59,11 @@ def main() -> None:
     ap.add_argument("--facet", default="key",
                     choices=["key", "query", "value", "token"])
     ap.add_argument("--layer", default=11, type=int)
+    ap.add_argument("--bin", action="store_true",
+                    help="log-binned descriptors (1+8*2 bins per location)")
+    ap.add_argument("--saliency", action="store_true",
+                    help="write the [1, tokens] cls-attention saliency map "
+                         "instead of descriptors (dino_vits8 only)")
     args = ap.parse_args()
 
     import jax
@@ -74,10 +83,15 @@ def main() -> None:
         params = enc.load_pretrained(args.weights, params)
     else:
         print("WARNING: no --weights given — RANDOM extractor weights")
-    desc = np.asarray(enc(params, image))
-    print(f"Descriptors are of size: {desc.shape}")
+    if args.saliency:
+        desc = np.asarray(enc.extract_saliency_maps(params, image))
+        print(f"Saliency maps are of size: {desc.shape}")
+    else:
+        desc = np.asarray(enc.extract_descriptors(params, image,
+                                                  log_bin=args.bin))
+        print(f"Descriptors are of size: {desc.shape}")
     np.save(args.output_path, desc)
-    print(f"Descriptors saved to: {args.output_path}")
+    print(f"Saved to: {args.output_path}")
 
 
 if __name__ == "__main__":
