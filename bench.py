@@ -112,11 +112,12 @@ def main():
     h = w = 128
 
     params_cfg = dict(FLAGSHIP_PARAMS, step_T_sample="confidence")
-    int8_mode = os.environ.get("BENCH_INT8", "")
+    # Default: calibrated static-scale int8 convs (ops/quant.py) — measured
+    # +7.8% over float on the flagship with ZERO quality drift (PERFNOTES.md
+    # int8 A/B: the ancestral chain resamples away conv quantization noise).
+    # BENCH_INT8=0 for the float parity path; =1 for dynamic scales (-12%).
+    int8_mode = os.environ.get("BENCH_INT8", "static")
     if int8_mode in ("1", "static"):
-        # TPU-native int8 conv path (ops/quant.py) — opt-in.
-        # BENCH_INT8=static additionally calibrates per-site activation
-        # scales (measured +8% over float; dynamic "1" mode is -12%).
         params_cfg["quantized_inference"] = True
     if os.environ.get("BENCH_STATIC_SCALE"):
         # uniform static-activation-scale cost model (see ops/quant.py knob)
@@ -179,6 +180,7 @@ def main():
         "config": {
             "images": num_images, "samples_per_image": num_samples,
             "steps": num_steps, "resolution": h, "reps": reps,
+            "quantized_inference": {"static": "int8-static", "1": "int8-dynamic"}.get(int8_mode, "off"),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]), "n_devices": n_dev,
         },

@@ -15,6 +15,15 @@ Parity: `evaluation/eval_cdm.py` (`Evaluator`/`run_inference`) —
   color maps, raw train-ids (`eval_cdm.py:235-294`)
 - final re-scoring of the saved PNGs with the official-protocol scorer +
   JSON export (`eval_cdm.py:424-432`)
+
+Scaling (same discipline as eval/lidc_uncertainty.py): single-process
+multi-chip runs shard the B*votes generation batch over a local mesh;
+multi-process runs give each host a strided slice of the validation set
+(PNGs named by GLOBAL dataset index, per-batch keys derived from global
+positions) and combine confusion-matrix partial sums with one allgather.
+The official PNG re-scoring runs on process 0 and assumes the output path
+is on a filesystem all hosts share (true for single-node multi-process and
+for pod slices with a common NFS scratch).
 """
 
 from __future__ import annotations
@@ -87,8 +96,21 @@ class CityscapesEvaluator:
             quant.set_static_scales(quant.calibrate_sampler(
                 self.model, self.model_params, jnp.asarray(cal),
                 jax.random.PRNGKey(0), feature_fn=feature_fn))
+        # single-process multi-chip: shard the B*votes generation batch over
+        # a local mesh (multi-process runs instead slice the dataset per
+        # host, so the local computation stays unsharded)
+        mesh = None
+        batch_size = int(self.params.get("batch_size", 2))
+        ndev = len(jax.local_devices())
+        if jax.process_count() == 1 and ndev > 1 \
+                and (batch_size * self.num_evaluations) % ndev == 0:
+            from ccdm_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            LOGGER.info("sharding the %dx%d vote batch over %d chips",
+                        batch_size, self.num_evaluations, ndev)
         self.sampler = make_prob_sampler(self.model, self.num_evaluations,
-                                         feature_fn=feature_fn)
+                                         feature_fn=feature_fn, mesh=mesh)
 
     def predict_batch(self, images: np.ndarray, key) -> jnp.ndarray:
         """[B,H,W,3] -> averaged probability maps [B,H,W,C] (confidence vote)."""
@@ -118,6 +140,7 @@ class CityscapesEvaluator:
             n = min(n, max_images)
         batch_size = min(batch_size, max(n, 1))
         rng = np.random.default_rng(0)
+        pidx, pcnt = jax.process_index(), jax.process_count()
         img_cnt = 0
         # iIoU needs the real gtFine instanceIds PNGs, and is only geometrically
         # valid when predictions are scored at the original resolution
@@ -134,16 +157,21 @@ class CityscapesEvaluator:
                 p.replace("labelIds", "instanceIds") if "labelIds" in p else None
                 for p in picked
             ]
-        for start in range(0, n, batch_size):
+        # multi-host: strided slice per host; per-batch keys derive from
+        # GLOBAL dataset positions so every host count scores the same draws
+        # per image, and PNGs are named by global index
+        my_indices = list(range(n))[pidx::pcnt]
+        for start in range(0, len(my_indices), batch_size):
             # tail batch padded by repeating the last image (keeps the
             # compiled sampler at one shape); only `real` entries are scored
-            real = min(batch_size, n - start)
-            idx = list(range(start, start + real)) + [start + real - 1] * (batch_size - real)
+            chunk = my_indices[start:start + batch_size]
+            real = len(chunk)
+            idx = chunk + [chunk[-1]] * (batch_size - real)
             samples = [dataset.get(i, rng) for i in idx]
             images = np.stack([s["image"] for s in samples])
             labels = np.stack([s["label"] for s in samples])  # train ids [B,H,W]
 
-            key, sub = jax.random.split(key)
+            sub = jax.random.fold_in(key, chunk[0])
             probs = self.predict_batch(images, sub)  # [B,H,W,C]
             probs, labels, samples = probs[:real], labels[:real], samples[:real]
 
@@ -160,25 +188,52 @@ class CityscapesEvaluator:
             for b in range(pred.shape[0]):
                 if valid[b].any():
                     self.cm.update(pred[b][valid[b]][None], labels[b][valid[b]][None])
-                self._dump_pngs(img_cnt, pred[b].astype(np.int64),
+                self._dump_pngs(chunk[b], pred[b].astype(np.int64),
                                 labels[b].astype(np.int64))
                 img_cnt += 1
             LOGGER.info("evaluated %d/%d images, running mIoU=%.4f",
-                        img_cnt, n, self.cm.miou())
+                        img_cnt, len(my_indices), self.cm.miou())
+
+        if pcnt > 1:
+            # one allgather combines every host's partial confusion matrix
+            # (x64 transport: f64 keeps integer counts exact past 2^24); the
+            # gather also acts as the barrier guaranteeing all hosts have
+            # finished writing their PNG slices before process 0 re-scores
+            from jax.experimental import multihost_utils
+
+            with jax.enable_x64(True):
+                parts = np.asarray(multihost_utils.process_allgather(
+                    self.cm.matrix.reshape(-1).astype(np.float64)))
+            k = self.cm.matrix.shape[0]
+            self.cm.matrix = parts.sum(axis=0).reshape(k, k).astype(
+                self.cm.matrix.dtype)
+            img_cnt = n
+            # file names are global-index-derived, so the full lists are
+            # reconstructible without shipping strings between hosts
+            self.pred_files = [os.path.join(self.output_path, "submit",
+                                            f"{i:06d}_pred_labelIds.png")
+                               for i in range(n)]
+            self.gt_files = [os.path.join(self.output_path, "gt",
+                                          f"{i:06d}_gt_labelIds.png")
+                             for i in range(n)]
 
         results = {
             "mIoU": self.cm.miou(),
             "IoU": self.cm.iou().tolist(),
             "images": img_cnt,
         }
-        # official re-scoring of the saved label-id PNGs (eval_cdm.py:424-432)
-        official = score_img_lists(
-            self.pred_files, self.gt_files,
-            export_file=os.path.join(self.output_path, "resultPixelLevelSemanticLabeling.json"),
-            inst_list=inst_files)
-        results["official"] = official
-        LOGGER.info("mIoU (train-id CM): %.4f | official class mIoU: %.4f",
-                    results["mIoU"], official["averageScoreClasses"])
+        # official re-scoring of the saved label-id PNGs (eval_cdm.py:424-432);
+        # process 0 only — requires the output path on a shared filesystem
+        if pidx == 0:
+            official = score_img_lists(
+                self.pred_files, self.gt_files,
+                export_file=os.path.join(self.output_path, "resultPixelLevelSemanticLabeling.json"),
+                inst_list=inst_files)
+            results["official"] = official
+            LOGGER.info("mIoU (train-id CM): %.4f | official class mIoU: %.4f",
+                        results["mIoU"], official["averageScoreClasses"])
+        else:
+            results["official"] = None
         return results
 
 

@@ -32,6 +32,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _make_fake_cityscapes(root: str, n: int = 4) -> None:
+    """Minimal leftImg8bit/gtFine val tree (4 images, 64x128), deterministic."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img_dir = os.path.join(root, "leftImg8bit", "val", "cityA")
+    gt_dir = os.path.join(root, "gtFine", "val", "cityA")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    for i in range(n):
+        img = (rng.random((64, 128, 3)) * 255).astype(np.uint8)
+        ids = rng.choice([7, 8, 11, 26, 0], size=(64, 128)).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(img_dir, f"img{i}_leftImg8bit.png"))
+        Image.fromarray(ids).save(os.path.join(gt_dir, f"img{i}_gtFine_labelIds.png"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", default="localhost:12377")
@@ -100,7 +117,56 @@ def main() -> None:
     state2 = run_train(params2, max_steps=2)
     assert int(state2.step) == 6, int(state2.step)
 
+    # host-sharded evaluation: each process scores a strided slice of the
+    # test set; one allgather combines. batch_size=1 makes the per-image
+    # sampling keys identical to a single-process run (keys derive from
+    # global dataset positions), so the test can compare results exactly.
+    syn.test_dataset = lambda max_size=None: syn.synthetic_test_dataset(
+        n=4, resolution=32)
+    from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
+
+    eval_params = dict(params, load_from=args.output + "_resumed",
+                       batch_size=1, evaluations=[2], output_path=None)
+    results = eval_lidc_uncertainty(eval_params)
+
+    # host-sharded Cityscapes inference: strided dataset slices, PNGs named
+    # by global index into a shared output dir, ONE allgather for the CM,
+    # official re-scoring on process 0 (cityscapes_eval.py). Random-init
+    # weights (seed-deterministic) keep both topologies comparable without a
+    # 20-class training run.
+    from jax.experimental import multihost_utils
+
+    cs_root = args.output + "_cs_data"
     if jax.process_index() == 0:
+        _make_fake_cityscapes(cs_root)
+    multihost_utils.sync_global_devices("cs_data_ready")
+    os.environ["CCDM_CITYSCAPES_PATH"] = cs_root
+    from ccdm_tpu.eval.cityscapes_eval import run_inference
+
+    cs_results = run_inference({
+        "output_path": args.output + "_cs_out",
+        "dataset_file": "ccdm_tpu.data.cityscapes",
+        "batch_size": 1,
+        "time_steps": 2,
+        "beta_schedule": "cosine",
+        "compute_dtype": "float32",
+        "evaluation": {"resolution": "dataloader", "evaluations": 2,
+                       "evaluation_vote_strategy": "confidence"},
+        "dataset_pipeline_val": ["resize", "torchvision_normalise"],
+        "dataset_pipeline_val_settings": {"target_size": [32, 64]},
+        "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                        "attention_resolutions": [4], "num_head_channels": 4},
+        "seed": 0,
+    })
+
+    if jax.process_index() == 0:
+        import json
+
+        print("EVAL_RESULTS " + json.dumps(results), flush=True)
+        print("CS_EVAL_RESULTS " + json.dumps(
+            {"mIoU": cs_results["mIoU"], "images": cs_results["images"],
+             "official_mIoU": cs_results["official"]["averageScoreClasses"]}),
+            flush=True)
         print("MULTIHOST_OK", flush=True)
 
 

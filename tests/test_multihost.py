@@ -11,6 +11,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "scripts", "multihost_smoke.py")
 
@@ -52,3 +54,66 @@ def test_two_process_distributed_train(tmp_path):
     assert (tmp_path / "mh_resumed" / "model").is_dir()
     # the validation path ran and drove a best-GED multihost save
     assert (tmp_path / "mh" / "best_ged").is_dir()
+
+    # host-sharded eval: the 2-process combined results must equal a
+    # single-process run bit-for-bit (batch_size=1 => per-image sampling
+    # keys derive from global dataset positions in both layouts)
+    import json
+
+    line = next(l for l in outs[0].splitlines() if l.startswith("EVAL_RESULTS "))
+    sharded = json.loads(line[len("EVAL_RESULTS "):])
+
+    import ccdm_tpu.data.synthetic as syn
+    from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
+
+    old = syn.test_dataset
+    syn.test_dataset = lambda max_size=None: syn.synthetic_test_dataset(
+        n=4, resolution=32)
+    try:
+        single = eval_lidc_uncertainty({
+            "dataset_file": "ccdm_tpu.data.synthetic",
+            "load_from": str(tmp_path / "mh_resumed"),
+            "batch_size": 1, "evaluations": [2],
+            "time_steps": 4, "beta_schedule": "cosine",
+            "compute_dtype": "float32",
+            "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                            "attention_resolutions": [4],
+                            "num_head_channels": 4},
+            "seed": 0,
+        })
+    finally:
+        syn.test_dataset = old
+    assert single["count"] == sharded["count"] == 4
+    for k in ("GED_2", "HMIoU_2", "diversity_2", "mIoU", "nonzero_fraction"):
+        assert single[k] == pytest.approx(sharded[k], rel=1e-6), k
+
+    # host-sharded Cityscapes inference: combined CM + official re-score of
+    # the globally-named PNG slices must equal a single-process run
+    line = next(l for l in outs[0].splitlines()
+                if l.startswith("CS_EVAL_RESULTS "))
+    cs_sharded = json.loads(line[len("CS_EVAL_RESULTS "):])
+
+    os.environ["CCDM_CITYSCAPES_PATH"] = str(tmp_path / "mh_cs_data")
+    try:
+        from ccdm_tpu.eval.cityscapes_eval import run_inference
+
+        cs_single = run_inference({
+            "output_path": str(tmp_path / "cs_single_out"),
+            "dataset_file": "ccdm_tpu.data.cityscapes",
+            "batch_size": 1, "time_steps": 2,
+            "beta_schedule": "cosine", "compute_dtype": "float32",
+            "evaluation": {"resolution": "dataloader", "evaluations": 2,
+                           "evaluation_vote_strategy": "confidence"},
+            "dataset_pipeline_val": ["resize", "torchvision_normalise"],
+            "dataset_pipeline_val_settings": {"target_size": [32, 64]},
+            "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                            "attention_resolutions": [4],
+                            "num_head_channels": 4},
+            "seed": 0,
+        })
+    finally:
+        del os.environ["CCDM_CITYSCAPES_PATH"]
+    assert cs_sharded["images"] == cs_single["images"] == 4
+    assert cs_single["mIoU"] == pytest.approx(cs_sharded["mIoU"], rel=1e-6)
+    assert cs_single["official"]["averageScoreClasses"] == pytest.approx(
+        cs_sharded["official_mIoU"], rel=1e-6, nan_ok=True)
