@@ -66,6 +66,8 @@ def ancestral_sampler(
     xt: jnp.ndarray,
     key: jax.Array,
     config: SamplerConfig,
+    *,
+    element_keys: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Run the reverse process from `xt ~ q(x_T)` down to a segmentation map.
 
@@ -73,6 +75,12 @@ def ancestral_sampler(
     Parity: `DenoisingModel.forward_denoising` (`diffusion_denoising.py:164-215`)
     minus the vestigial classifier-guidance hooks (dead code upstream:
     `guidance_fn` is referenced but never defined, `:199-202`).
+
+    With `element_keys` ([B] PRNG keys, `key` ignored) every batch element
+    draws its chain noise from its OWN key, so an element's trajectory is
+    independent of its position in — or the composition of — the batch.
+    Eval harnesses derive these from global dataset positions, making
+    results identical across batch sizes, host counts, and shardings.
 
     Wrap in `jax.jit` (donate `xt` for in-place HBM reuse); `config` and the
     step grid are static so each K compiles exactly once.
@@ -89,8 +97,11 @@ def ancestral_sampler(
         probs = theta_post_prob(d, x, p0.astype(jnp.float32), t)
         probs = jnp.clip(probs, min=1e-12)
 
-        step_key = jax.random.fold_in(key, step_idx)
-        drawn = sample_onehot(step_key, probs)
+        if element_keys is not None:
+            step_keys = jax.vmap(jax.random.fold_in, (0, None))(element_keys, step_idx)
+            drawn = jax.vmap(sample_onehot)(step_keys, probs)
+        else:
+            drawn = sample_onehot(jax.random.fold_in(key, step_idx), probs)
         if config.step_T_sample == "confidence":
             final = probs
         else:  # "majority" (also the reference's None default, `:209`)
@@ -106,3 +117,12 @@ def ancestral_sampler(
 def sample_prior(key: jax.Array, batch: int, height: int, width: int, num_classes: int) -> jnp.ndarray:
     """Draw `x_T` from the uniform categorical prior, one-hot `[B,H,W,C]`."""
     return uniform_onehot_noise(key, (batch, height, width), num_classes)
+
+
+def sample_prior_per_key(keys: jnp.ndarray, height: int, width: int, num_classes: int) -> jnp.ndarray:
+    """`x_T` prior with one PRNG key per batch element -> `[B,H,W,C]`.
+
+    Batch-composition-independent counterpart of `sample_prior` (see
+    `ancestral_sampler`'s `element_keys`)."""
+    return jax.vmap(
+        lambda k: uniform_onehot_noise(k, (height, width), num_classes))(keys)

@@ -70,8 +70,11 @@ class CityscapesEvaluator:
         self.pred_files: list = []
         self.gt_files: list = []
 
-    def build(self, dataset):
+    def build(self, dataset, batch_size: int):
+        """`batch_size` must be the CLAMPED per-host batch run() will use —
+        the mesh divisibility decision is made against it here."""
         from ccdm_tpu.eval.lidc_uncertainty import build_eval_feature_fn
+        from ccdm_tpu.parallel.mesh import mesh_for_eval
 
         first = dataset.get(0, np.random.default_rng(0))
         image_shape = first["image"].shape
@@ -91,30 +94,29 @@ class CityscapesEvaluator:
             # the absmax passes on top of that)
             from ccdm_tpu.ops import quant
 
-            cal = np.stack([dataset.get(i, np.random.default_rng(i))["image"]
-                            for i in range(min(2, len(dataset)))])
-            quant.set_static_scales(quant.calibrate_sampler(
-                self.model, self.model_params, jnp.asarray(cal),
-                jax.random.PRNGKey(0), feature_fn=feature_fn))
+            quant.auto_calibrate_static(
+                self.model, self.model_params,
+                np.stack([dataset.get(i, np.random.default_rng(i))["image"]
+                          for i in range(min(2, len(dataset)))]),
+                feature_fn=feature_fn)
         # single-process multi-chip: shard the B*votes generation batch over
         # a local mesh (multi-process runs instead slice the dataset per
         # host, so the local computation stays unsharded)
-        mesh = None
-        batch_size = int(self.params.get("batch_size", 2))
-        ndev = len(jax.local_devices())
-        if jax.process_count() == 1 and ndev > 1 \
-                and (batch_size * self.num_evaluations) % ndev == 0:
-            from ccdm_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh()
+        mesh = mesh_for_eval(batch_size * self.num_evaluations)
+        if mesh is not None:
             LOGGER.info("sharding the %dx%d vote batch over %d chips",
-                        batch_size, self.num_evaluations, ndev)
+                        batch_size, self.num_evaluations,
+                        len(jax.local_devices()))
         self.sampler = make_prob_sampler(self.model, self.num_evaluations,
                                          feature_fn=feature_fn, mesh=mesh)
 
-    def predict_batch(self, images: np.ndarray, key) -> jnp.ndarray:
-        """[B,H,W,3] -> averaged probability maps [B,H,W,C] (confidence vote)."""
-        probs = self.sampler(self.model_params, jnp.asarray(images), key)
+    def predict_batch(self, images: np.ndarray, key, indices) -> jnp.ndarray:
+        """[B,H,W,3] -> averaged probability maps [B,H,W,C] (confidence vote).
+
+        `indices` are global dataset positions — each image's votes are a
+        pure function of (key, index), independent of batching/topology."""
+        probs = self.sampler(self.model_params, jnp.asarray(images), key,
+                             jnp.asarray(indices, jnp.int32))
         return jnp.mean(probs, axis=1)  # mean over the vote axis
 
     def _dump_pngs(self, idx: int, pred_train_id: np.ndarray, label_train_id: np.ndarray):
@@ -157,9 +159,9 @@ class CityscapesEvaluator:
                 p.replace("labelIds", "instanceIds") if "labelIds" in p else None
                 for p in picked
             ]
-        # multi-host: strided slice per host; per-batch keys derive from
-        # GLOBAL dataset positions so every host count scores the same draws
-        # per image, and PNGs are named by global index
+        # multi-host: strided slice per host; every image's votes are keyed
+        # by its GLOBAL dataset position (identical draws for any host
+        # count/batching), and PNGs are named by global index
         my_indices = list(range(n))[pidx::pcnt]
         for start in range(0, len(my_indices), batch_size):
             # tail batch padded by repeating the last image (keeps the
@@ -171,8 +173,7 @@ class CityscapesEvaluator:
             images = np.stack([s["image"] for s in samples])
             labels = np.stack([s["label"] for s in samples])  # train ids [B,H,W]
 
-            sub = jax.random.fold_in(key, chunk[0])
-            probs = self.predict_batch(images, sub)  # [B,H,W,C]
+            probs = self.predict_batch(images, key, idx)  # [B,H,W,C]
             probs, labels, samples = probs[:real], labels[:real], samples[:real]
 
             if self.eval_resolution == "original" and "original_labels" in samples[0]:
@@ -248,10 +249,16 @@ def run_inference(params: Dict[str, Any]) -> Dict:
     LOGGER.info("%d images in cityscapes validation set", len(dataset))
     ev = CityscapesEvaluator(params)
     try:
-        ev.build(dataset)
-        return ev.run(dataset, batch_size=int(params.get("batch_size", 2)),
+        # clamp the batch to the scored image count BEFORE build() decides
+        # the mesh layout, so the compiled batch matches the divisibility
+        # check (lidc_uncertainty.py does the same)
+        max_images = params.get("max_images")
+        n = min(len(dataset), max_images) if max_images else len(dataset)
+        batch_size = min(int(params.get("batch_size", 2)), max(n, 1))
+        ev.build(dataset, batch_size)
+        return ev.run(dataset, batch_size=batch_size,
                       key=jax.random.PRNGKey(int(params.get("seed", 0))),
-                      max_images=params.get("max_images"))
+                      max_images=max_images)
     finally:
         # drop any calibrated static-int8 scales installed by build()
         from ccdm_tpu.ops import quant

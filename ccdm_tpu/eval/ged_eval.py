@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ccdm_tpu.diffusion.sampling import SamplerConfig, ancestral_sampler, sample_prior
+from ccdm_tpu.diffusion.sampling import (
+    SamplerConfig,
+    ancestral_sampler,
+    sample_prior_per_key,
+)
 from ccdm_tpu.eval.metrics import generalised_energy_distance, hungarian_matched_iou
 from ccdm_tpu.models.builder import DenoisingModel
 
@@ -27,7 +31,7 @@ LOGGER = logging.getLogger(__name__)
 
 def make_batched_sampler(model: DenoisingModel, num_samples: int,
                          num_steps: Optional[int] = None, feature_fn=None):
-    """Returns a jitted `(params, images [B,H,W,Ci], key) -> [B,S,H,W] int32`.
+    """Returns a jitted `(params, images [B,H,W,Ci], key, indices=None) -> [B,S,H,W] int32`.
 
     Compiles once per (B, S, K) combination and is reused across batches.
     `feature_fn` optionally computes the DINO feature condition from the
@@ -38,16 +42,25 @@ def make_batched_sampler(model: DenoisingModel, num_samples: int,
                         step_T_sample=model.step_T_sample)
     c = model.diffusion.num_classes
 
-    def run(params, images, key):
+    def run(params, images, key, indices=None):
         b, h, w, _ = images.shape
+        if indices is None:
+            indices = jnp.arange(b, dtype=jnp.int32)
         cond = jnp.repeat(images, num_samples, axis=0)
         fc = None
         if feature_fn is not None:
             fc = jnp.repeat(feature_fn(images), num_samples, axis=0)
+        # one key per (image, sample) folded on the global flat id: draws are
+        # independent of batch composition/host count (see make_prob_sampler)
+        gid = (indices[:, None] * num_samples
+               + jnp.arange(num_samples, dtype=jnp.int32)).reshape(-1)
         k_prior, k_chain = jax.random.split(key)
-        xt = sample_prior(k_prior, b * num_samples, h, w, c)
+        prior_keys = jax.vmap(jax.random.fold_in, (None, 0))(k_prior, gid)
+        chain_keys = jax.vmap(jax.random.fold_in, (None, 0))(k_chain, gid)
+        xt = sample_prior_per_key(prior_keys, h, w, c)
         out = ancestral_sampler(
-            model.diffusion, model.denoise_fn(params, cond, fc), xt, k_chain, cfg)
+            model.diffusion, model.denoise_fn(params, cond, fc), xt, k_chain,
+            cfg, element_keys=chain_keys)
         return jnp.argmax(out, axis=-1).reshape(b, num_samples, h, w).astype(jnp.int32)
 
     return jax.jit(run)
@@ -97,10 +110,10 @@ def compute_ged(
         labels = np.stack([s["labels"] for s in samples[:real]])  # [B,A,H,W,C]
         refs = np.argmax(labels, axis=-1).astype(np.int32)
 
-        # per-batch key from the GLOBAL dataset position: shard-layout
-        # independent (the same image gets the same draw for any host count)
-        sub = jax.random.fold_in(key, chunk[0])
-        preds = sampler(params, jnp.asarray(images), sub)[:real]  # [B,S,H,W]
+        # per-image keys from the GLOBAL dataset positions: the same image
+        # gets the same draws for any host count or batch composition
+        preds = sampler(params, jnp.asarray(images), key,
+                        jnp.asarray(idx, jnp.int32))[:real]  # [B,S,H,W]
 
         ged, div_s, _ = generalised_energy_distance(preds, jnp.asarray(refs), num_classes)
         hm = hungarian_matched_iou(preds, jnp.asarray(refs), num_classes)
@@ -112,9 +125,13 @@ def compute_ged(
     if process_count > 1:
         from jax.experimental import multihost_utils
 
-        parts = multihost_utils.process_allgather(
-            np.asarray([total_ged, total_div, total_hm, float(count)],
-                       dtype=np.float64))
+        # x64 transport, like the sibling gathers in lidc_uncertainty.py /
+        # cityscapes_eval.py — otherwise the f64 partials are silently
+        # truncated to f32 on the wire
+        with jax.enable_x64(True):
+            parts = np.asarray(multihost_utils.process_allgather(
+                np.asarray([total_ged, total_div, total_hm, float(count)],
+                           dtype=np.float64)))
         total_ged, total_div, total_hm, count = [float(x) for x in parts.sum(axis=0)]
 
     if count == 0:

@@ -14,9 +14,10 @@ Parity: `evaluation/evaluate_lidc_uncertainty.py` —
 
 Scaling: single-process multi-chip runs shard the B*S generation batch over
 a local device mesh; multi-process runs give each host a strided slice of
-the test set and combine partial sums with one allgather (per-batch sampling
-keys derive from global dataset positions, so every host count scores the
-same draws per image).
+the test set and combine partial sums with one allgather. Every (image,
+sample) pair's noise is keyed by its GLOBAL dataset position
+(`make_prob_sampler` `indices`), so results are identical for any host
+count, batch size, or sharding.
 
 Returns a metrics dict; the CLI logs it in the reference's format.
 """
@@ -33,7 +34,11 @@ import numpy as np
 
 from ccdm_tpu.config import with_defaults
 from ccdm_tpu.data.registry import resolve_dataset_module
-from ccdm_tpu.diffusion.sampling import SamplerConfig, ancestral_sampler, sample_prior
+from ccdm_tpu.diffusion.sampling import (
+    SamplerConfig,
+    ancestral_sampler,
+    sample_prior_per_key,
+)
 from ccdm_tpu.eval.metrics import (
     ConfusionMatrix,
     generalised_energy_distance,
@@ -48,10 +53,16 @@ LOGGER = logging.getLogger(__name__)
 def make_prob_sampler(model: DenoisingModel, num_samples: int,
                       num_steps: Optional[int] = None, feature_fn=None,
                       mesh=None):
-    """Jitted `(params, images [B,H,W,Ci], key) -> probs [B,S,H,W,C]`.
+    """Jitted `(params, images [B,H,W,Ci], key, indices=None) -> probs [B,S,H,W,C]`.
 
     Uses the model's `step_T_sample` mode for the final step; "confidence"
     yields probability maps (the eval default, `params_eval.yml:4`).
+
+    PRNG discipline: every (image, sample) pair draws its prior and chain
+    noise from a key folded on `index*num_samples + sample`, where `indices`
+    [B] are GLOBAL dataset positions (default `arange(B)`). A given image's
+    draws are therefore a pure function of (key, global index) — identical
+    across batch sizes, batch compositions, host counts, and shardings.
 
     With `mesh`, the B*S generation batch is sharded over the 'data' axis and
     params follow the TP layout rule — multi-chip inference with the same
@@ -61,8 +72,10 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
                         step_T_sample=model.step_T_sample)
     c = model.diffusion.num_classes
 
-    def run(params, images, key):
+    def run(params, images, key, indices=None):
         b, h, w, _ = images.shape
+        if indices is None:
+            indices = jnp.arange(b, dtype=jnp.int32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -72,8 +85,13 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
         fc = None
         if feature_fn is not None:
             fc = jnp.repeat(feature_fn(images), num_samples, axis=0)
+        # one key per (image, sample), folded on the global flat id
+        gid = (indices[:, None] * num_samples
+               + jnp.arange(num_samples, dtype=jnp.int32)).reshape(-1)
         k_prior, k_chain = jax.random.split(key)
-        xt = sample_prior(k_prior, b * num_samples, h, w, c)
+        prior_keys = jax.vmap(jax.random.fold_in, (None, 0))(k_prior, gid)
+        chain_keys = jax.vmap(jax.random.fold_in, (None, 0))(k_chain, gid)
+        xt = sample_prior_per_key(prior_keys, h, w, c)
         if mesh is not None:
             from ccdm_tpu.parallel.mesh import batch_sharding
 
@@ -83,7 +101,8 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
             if fc is not None:
                 fc = jax.lax.with_sharding_constraint(fc, sh)
         out = ancestral_sampler(
-            model.diffusion, model.denoise_fn(params, cond, fc), xt, k_chain, cfg)
+            model.diffusion, model.denoise_fn(params, cond, fc), xt, k_chain,
+            cfg, element_keys=chain_keys)
         return out.reshape(b, num_samples, h, w, c)
 
     return jax.jit(run)
@@ -187,28 +206,21 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
         from ccdm_tpu.ops import quant
 
         n_cal = min(len(dataset), 2)
-        cal = jnp.asarray(np.stack([dataset.get(i)["image"] for i in range(n_cal)]))
-        quant.set_static_scales(quant.calibrate_sampler(
-            model, model_params, cal, jax.random.PRNGKey(0),
-            feature_fn=feature_fn))
+        quant.auto_calibrate_static(
+            model, model_params,
+            np.stack([dataset.get(i)["image"] for i in range(n_cal)]),
+            feature_fn=feature_fn)
 
-    # single-process multi-chip: shard the B*S generation batch over a local
-    # mesh (the same layout bench.py uses); multi-process: each host scores
-    # its strided slice of the test set instead (see below), so the local
-    # computation stays unsharded
-    mesh = None
+    from ccdm_tpu.parallel.mesh import mesh_for_eval
+
     pidx, pcnt = jax.process_index(), jax.process_count()
     batch_size = max(1, int(params.get("batch_size", 2)))
     n = len(dataset)
     batch_size = min(batch_size, max(n, 1))
-    if pcnt == 1 and len(jax.local_devices()) > 1:
-        ndev = len(jax.local_devices())
-        if (batch_size * max_samples) % ndev == 0:
-            from ccdm_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh()
-            LOGGER.info("sharding the %dx%d generation batch over %d chips",
-                        batch_size, max_samples, ndev)
+    mesh = mesh_for_eval(batch_size * max_samples)
+    if mesh is not None:
+        LOGGER.info("sharding the %dx%d generation batch over %d chips",
+                    batch_size, max_samples, len(jax.local_devices()))
     sampler = make_prob_sampler(model, max_samples, num_steps, feature_fn,
                                 mesh=mesh)
     key = jax.random.PRNGKey(int(params.get("seed", 0)))
@@ -225,9 +237,9 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
     batch_real: List[int] = []
 
     # multi-host: strided slice per host, combined by a single allgather at
-    # the end (same layout-independence discipline as eval/ged_eval.py:
-    # per-batch keys derive from GLOBAL dataset positions, so every host
-    # count produces the same draws per image)
+    # the end. Each image's draws are keyed by its GLOBAL dataset position
+    # (make_prob_sampler's `indices`), so results are identical for every
+    # host count, batch size, and batch composition.
     my_indices = list(range(n))[pidx::pcnt]
     for start in range(0, len(my_indices), batch_size):
         # pad the tail batch by repeating the last image so the compiled
@@ -240,9 +252,9 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
         labels = np.stack([s["labels"][...] for s in samples[:real]])  # [B,A,H,W,C]
         refs = np.argmax(labels, axis=-1).astype(np.int32)  # [B,A,H,W]
 
-        sub = jax.random.fold_in(key, chunk[0])
         t0 = time.perf_counter()
-        probs = sampler(model_params, images, sub)  # [B,S,H,W,C]
+        probs = sampler(model_params, images, key,
+                        jnp.asarray(idx, jnp.int32))  # [B,S,H,W,C]
         probs.block_until_ready()
         batch_seconds.append(time.perf_counter() - t0)
         batch_real.append(real)
@@ -280,15 +292,16 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
     steady_seconds = sum(s for s, _ in steady)
 
     if pcnt > 1:
-        # one allgather combines every host's partial sums; hosts ran in
-        # parallel, so aggregate throughput divides by the SLOWEST host
+        # ONE allgather combines every host's partials: counts/sums reduce
+        # by +, the wall-clock columns by max (hosts ran in parallel, so
+        # aggregate throughput divides by the SLOWEST host)
         from jax.experimental import multihost_utils
 
         scalars = np.concatenate([
             geds, div_samples, div_experts, hm_ious,
             cm.matrix.reshape(-1).astype(np.float64),
             [float(count), float(nonzero_total), float(steady_samples),
-             float(gen_seconds)],
+             float(steady_seconds), float(gen_seconds)],
         ]).astype(np.float64)
         # x64 transport: without it the gather silently truncates the f64
         # partial sums (incl. integer CM counts beyond 2^24) to f32
@@ -300,13 +313,11 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
         div_experts, hm_ious = summed[2 * e:3 * e], summed[3 * e:4 * e]
         cm.matrix = summed[4 * e:4 * e + num_classes ** 2].reshape(
             num_classes, num_classes).astype(cm.matrix.dtype)
-        count, nonzero_total, steady_samples, gen_seconds = (
-            float(v) for v in summed[-4:])
-        count = int(count)
-        with jax.enable_x64(True):
-            secs = multihost_utils.process_allgather(
-                np.asarray([steady_seconds], dtype=np.float64))
-        steady_seconds = float(secs.max())
+        count = int(summed[-5])
+        nonzero_total = float(summed[-4])
+        steady_samples = float(summed[-3])
+        steady_seconds = float(parts[:, -2].max())
+        gen_seconds = float(parts[:, -1].max())
 
     if count == 0:
         raise ValueError(f"empty test dataset ({n} images)")

@@ -105,6 +105,18 @@ def calibrate_sampler(model, params, images: jnp.ndarray, key: jax.Array,
     return stats
 
 
+def auto_calibrate_static(model, params, images, feature_fn=None) -> None:
+    """Calibrate per-site activation scales on `images` and install them.
+
+    The shared `quantized_inference: static` entry point for the eval
+    harnesses: calibrate on the first test images, then bake the absmax
+    tables into the next-built sampler (`set_static_scales` semantics).
+    """
+    set_static_scales(calibrate_sampler(
+        model, params, jnp.asarray(images), jax.random.PRNGKey(0),
+        feature_fn=feature_fn))
+
+
 def quantized_conv(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

@@ -54,6 +54,21 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def mesh_for_eval(generation_batch: int) -> Optional[Mesh]:
+    """A local data mesh for eval-harness inference, or None.
+
+    Single-process multi-chip runs shard the generation batch (images x
+    samples-per-image) over all local devices; multi-process runs slice the
+    dataset per host instead, so the local computation stays unsharded.
+    None when sharding does not apply (one device, multi-process, or a
+    batch the device count does not divide).
+    """
+    ndev = len(jax.local_devices())
+    if jax.process_count() > 1 or ndev <= 1 or generation_batch % ndev != 0:
+        return None
+    return make_mesh()
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

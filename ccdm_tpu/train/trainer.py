@@ -253,15 +253,22 @@ class TrainingRun:
         return self.rng
 
     def ema_unwrap(self):
-        ema = self.state.ema_params
         # multihost: validation/qualitative sampling run process-LOCALLY (on
         # each host's own devices, identical inputs -> identical results), so
         # the global train-state arrays are copied out of the mesh first;
-        # the SPMD program is only the train step itself
+        # the SPMD program is only the train step itself. One validate() pass
+        # touches the EMA several times (GED sampler, feature fn, grids) —
+        # the copy is cached per train step so each tree moves once.
+        step = int(self.state.step)
+        cached = getattr(self, "_ema_cache", None)
+        if cached is not None and cached[0] == step:
+            return cached[1]
+        ema = self.state.ema_params
         if jax.process_count() > 1:
             from ccdm_tpu.parallel.mesh import host_local_copy
 
             ema = host_local_copy(ema)
+        self._ema_cache = (step, ema)
         return ema
 
     def ema_unet(self):
@@ -324,6 +331,8 @@ class TrainingRun:
         if n == 0:
             return float("nan")
         bs = max(1, min(self.batch_size // 4, n))
+        ema = self.ema_unet()
+        key = jax.random.fold_in(self._local_rng(), int(self.state.step))
         for start in range(0, n, bs):
             # pad the tail batch (repeat last sample) so the compiled sampler
             # keeps one shape; only the real entries update the CM
@@ -335,8 +344,8 @@ class TrainingRun:
                 true = np.argmax(np.stack([s["labels"][0] for s in samples]), -1)
             else:
                 true = np.stack([s["label"] for s in samples])
-            preds = sampler(self.ema_unet(), jnp.asarray(images),
-                            jax.random.fold_in(self._local_rng(), start))
+            preds = sampler(ema, jnp.asarray(images), key,
+                            jnp.asarray(idx, jnp.int32))
             # prediction argmax spans all channels incl. the ignore class —
             # matching the reference's in-training CM (ignite ignore_index
             # only masks the reported vector, `trainer.py:398-407`); the
@@ -438,16 +447,15 @@ class TrainingRun:
             # attach extra eval-only keys like 'label'/'original_labels')
             step_keys = ("image", "x0", "feature_condition")
             filtered = ({k: b[k] for k in step_keys if k in b} for b in raw_it)
-            # the partial resumed epoch runs as single launches (grouping
-            # does not affect the trajectory — see make_multi_step — only
-            # dispatch amortisation, which a one-off partial epoch can skip)
-            k_launch = 1 if resume_skip else self.steps_per_launch
+            k_launch = self.steps_per_launch
             if k_launch > 1:
                 # whole groups of K go through the multi-step launch; the
-                # epoch's tail (len(loader) % K batches) runs as single
+                # epoch's tail (remaining % K batches) runs as single
                 # launches so no data is dropped and the trajectory stays
-                # identical to K=1
-                n_groups = len(self.loader) // k_launch
+                # identical to K=1. A mid-epoch resume groups the REMAINING
+                # batches (grouping never affects the trajectory — see
+                # make_multi_step — only dispatch amortisation).
+                n_groups = (len(self.loader) - resume_skip) // k_launch
                 src = iter(filtered)
 
                 def grouped(it_src):

@@ -118,15 +118,16 @@ def main() -> None:
     assert int(state2.step) == 6, int(state2.step)
 
     # host-sharded evaluation: each process scores a strided slice of the
-    # test set; one allgather combines. batch_size=1 makes the per-image
-    # sampling keys identical to a single-process run (keys derive from
-    # global dataset positions), so the test can compare results exactly.
+    # test set; one allgather combines. Every (image, sample) draw is keyed
+    # by its global dataset position, so the combined results are identical
+    # to a single-process run even at batch_size > 1 (host 0 scores images
+    # [0, 2] in ONE batch here — a composition no single-process batch has).
     syn.test_dataset = lambda max_size=None: syn.synthetic_test_dataset(
         n=4, resolution=32)
     from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
 
     eval_params = dict(params, load_from=args.output + "_resumed",
-                       batch_size=1, evaluations=[2], output_path=None)
+                       batch_size=2, evaluations=[2], output_path=None)
     results = eval_lidc_uncertainty(eval_params)
 
     # host-sharded Cityscapes inference: strided dataset slices, PNGs named
@@ -146,7 +147,7 @@ def main() -> None:
     cs_results = run_inference({
         "output_path": args.output + "_cs_out",
         "dataset_file": "ccdm_tpu.data.cityscapes",
-        "batch_size": 1,
+        "batch_size": 2,
         "time_steps": 2,
         "beta_schedule": "cosine",
         "compute_dtype": "float32",

@@ -56,8 +56,10 @@ def test_two_process_distributed_train(tmp_path):
     assert (tmp_path / "mh" / "best_ged").is_dir()
 
     # host-sharded eval: the 2-process combined results must equal a
-    # single-process run bit-for-bit (batch_size=1 => per-image sampling
-    # keys derive from global dataset positions in both layouts)
+    # single-process run — at batch_size=2, where host batches mix images
+    # ([0,2] / [1,3]) that no single-process batch ([0,1] / [2,3]) contains:
+    # per-(image,sample) keys derive from global dataset positions, so the
+    # draws are identical in every layout
     import json
 
     line = next(l for l in outs[0].splitlines() if l.startswith("EVAL_RESULTS "))
@@ -73,7 +75,7 @@ def test_two_process_distributed_train(tmp_path):
         single = eval_lidc_uncertainty({
             "dataset_file": "ccdm_tpu.data.synthetic",
             "load_from": str(tmp_path / "mh_resumed"),
-            "batch_size": 1, "evaluations": [2],
+            "batch_size": 2, "evaluations": [2],
             "time_steps": 4, "beta_schedule": "cosine",
             "compute_dtype": "float32",
             "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
@@ -100,7 +102,7 @@ def test_two_process_distributed_train(tmp_path):
         cs_single = run_inference({
             "output_path": str(tmp_path / "cs_single_out"),
             "dataset_file": "ccdm_tpu.data.cityscapes",
-            "batch_size": 1, "time_steps": 2,
+            "batch_size": 2, "time_steps": 2,
             "beta_schedule": "cosine", "compute_dtype": "float32",
             "evaluation": {"resolution": "dataloader", "evaluations": 2,
                            "evaluation_vote_strategy": "confidence"},
