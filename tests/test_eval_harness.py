@@ -62,3 +62,18 @@ def test_eval_lidc_uncertainty_static_int8(tiny_synthetic):
     assert res["count"] == 4
     assert 0.0 <= res["GED_2"] <= 2.0
     assert all(0.0 <= d <= 1.0 for d in res["Dice"])
+
+
+def test_eval_results_batch_size_invariant(tiny_synthetic):
+    """Eval results are identical for ANY batch size: every (image, sample)
+    draw is keyed by its global dataset position (make_prob_sampler
+    `indices`), so batch composition — including the repeated-image tail
+    padding at batch_size=3 over 4 images — cannot change them."""
+    from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
+
+    runs = [eval_lidc_uncertainty(dict(EVAL_PARAMS, batch_size=bs))
+            for bs in (1, 3, 4)]
+    for other in runs[1:]:
+        for k in ("GED_1", "GED_2", "HMIoU_2", "diversity_2", "mIoU",
+                  "nonzero_fraction"):
+            assert runs[0][k] == pytest.approx(other[k], rel=1e-6), k
