@@ -128,6 +128,59 @@ def _convert_array(torch_arr: np.ndarray, flax_leaf) -> np.ndarray:
     return t
 
 
+def _torch_key_for(parts, last_index: Dict[int, int]) -> str:
+    """Full torch state-dict key for a flax param path (shared by both
+    conversion directions)."""
+    prefix = _torch_prefix_for(parts[0])
+    if prefix.endswith(".__last__"):
+        j = int(prefix.split(".")[1])
+        prefix = f"output_blocks.{j}.{last_index[j]}"
+    for pattern, torch_sub in _SUBMAP.items():
+        if parts[1:] == pattern:
+            return f"{prefix}.{torch_sub}"
+    raise KeyError(f"no torch mapping for flax path {parts}")
+
+
+def flax_unet_to_torch(flax_params) -> Dict[str, np.ndarray]:
+    """Inverse of `torch_unet_to_flax`: a Flax UNet param tree -> a reference
+    torch state dict (numpy values; `torch.from_numpy` + `load_state_dict`
+    on the consumer side).
+
+    Layout inversions: Conv2d HWIO -> OIHW; attention qkv/proj Dense [I,O]
+    -> Conv1d [O,I,1] (the reference's 1x1 convs, `unet.py:291-300`); other
+    Dense [I,O] -> Linear [O,I]; GroupNorm scale/bias -> weight/bias.
+
+    Completes the migration story in both directions: checkpoints trained
+    here export to the reference's eval tooling (`evaluate_lidc_uncertainty
+    .py:138-143` loads `average_model` state dicts) and round-trip through
+    `torch_unet_to_flax` bit-exactly (tests/test_torch_parity.py).
+    """
+    leaves_with_path, _ = jax.tree_util.tree_flatten_with_path(flax_params)
+    paths = [tuple(str(getattr(k, "key", k)) for k in path)
+             for path, _ in leaves_with_path]
+    # '__last__' (upsample position in each output block) from the tree
+    # itself: [ResBlock, AttentionBlock?, Upsample] -> 2 with attention, 1
+    # without (`unet.py:646-676` ordering)
+    has_attn = {int(m.group(1)) for p in paths
+                for m in [re.match(r"up_(\d+)_attn$", p[0])] if m}
+    last_index = {int(m.group(1)): 2 if int(m.group(1)) in has_attn else 1
+                  for p in paths
+                  for m in [re.match(r"up_(\d+)_upsample$", p[0])] if m}
+
+    state_dict: Dict[str, np.ndarray] = {}
+    for parts, (_, leaf) in zip(paths, leaves_with_path):
+        t = np.asarray(jax.device_get(leaf), dtype=np.float32)
+        if t.ndim == 4:  # HWIO -> OIHW
+            t = np.transpose(t, (3, 2, 0, 1))
+        elif t.ndim == 2:
+            if parts[0].endswith("attn") and parts[1] in ("qkv", "proj"):
+                t = np.transpose(t)[:, :, None]  # Dense [I,O] -> Conv1d [O,I,1]
+            else:
+                t = np.transpose(t)  # Dense [I,O] -> Linear [O,I]
+        state_dict[_torch_key_for(parts, last_index)] = t
+    return state_dict
+
+
 def torch_unet_to_flax(state_dict: Dict[str, np.ndarray], flax_params):
     """Map a reference UNet state dict onto a Flax param tree (same config)."""
     # resolve '__last__' (upsample position inside each output block)
@@ -143,18 +196,7 @@ def torch_unet_to_flax(state_dict: Dict[str, np.ndarray], flax_params):
     used = set()
     for path, leaf in leaves_with_path:
         parts = tuple(str(getattr(k, "key", k)) for k in path)
-        prefix = _torch_prefix_for(parts[0])
-        if prefix.endswith(".__last__"):
-            j = int(prefix.split(".")[1])
-            prefix = f"output_blocks.{j}.{last_index[j]}"
-        sub = None
-        for pattern, torch_sub in _SUBMAP.items():
-            if parts[1:] == pattern:
-                sub = torch_sub
-                break
-        if sub is None:
-            raise KeyError(f"no torch mapping for flax path {parts}")
-        torch_key = f"{prefix}.{sub}"
+        torch_key = _torch_key_for(parts, last_index)
         if torch_key not in state_dict:
             raise KeyError(f"{torch_key!r} (for flax {'/'.join(parts)}) missing from state dict")
         new_leaves.append(_convert_array(state_dict[torch_key], leaf))
