@@ -143,8 +143,8 @@ def main():
     if int8_mode == "static":
         from ccdm_tpu.ops import quant
 
-        quant.set_static_scales(quant.calibrate_sampler(
-            model, params, images[:2], jax.random.PRNGKey(0)))
+        # the same calibration entry point the eval harnesses use
+        quant.auto_calibrate_static(model, params, images[:2])
         # rebuild so the baked scales enter a fresh trace
         sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh)
 

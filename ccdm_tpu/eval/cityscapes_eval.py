@@ -162,13 +162,12 @@ class CityscapesEvaluator:
         # multi-host: strided slice per host; every image's votes are keyed
         # by its GLOBAL dataset position (identical draws for any host
         # count/batching), and PNGs are named by global index
-        my_indices = list(range(n))[pidx::pcnt]
+        from ccdm_tpu.parallel.mesh import allgather_f64, host_slice, pad_chunk
+
+        my_indices = host_slice(n)
         for start in range(0, len(my_indices), batch_size):
-            # tail batch padded by repeating the last image (keeps the
-            # compiled sampler at one shape); only `real` entries are scored
-            chunk = my_indices[start:start + batch_size]
-            real = len(chunk)
-            idx = chunk + [chunk[-1]] * (batch_size - real)
+            idx, real = pad_chunk(my_indices[start:start + batch_size],
+                                  batch_size)
             samples = [dataset.get(i, rng) for i in idx]
             images = np.stack([s["image"] for s in samples])
             labels = np.stack([s["label"] for s in samples])  # train ids [B,H,W]
@@ -189,22 +188,18 @@ class CityscapesEvaluator:
             for b in range(pred.shape[0]):
                 if valid[b].any():
                     self.cm.update(pred[b][valid[b]][None], labels[b][valid[b]][None])
-                self._dump_pngs(chunk[b], pred[b].astype(np.int64),
+                self._dump_pngs(idx[b], pred[b].astype(np.int64),
                                 labels[b].astype(np.int64))
                 img_cnt += 1
             LOGGER.info("evaluated %d/%d images, running mIoU=%.4f",
                         img_cnt, len(my_indices), self.cm.miou())
 
         if pcnt > 1:
-            # one allgather combines every host's partial confusion matrix
-            # (x64 transport: f64 keeps integer counts exact past 2^24); the
-            # gather also acts as the barrier guaranteeing all hosts have
-            # finished writing their PNG slices before process 0 re-scores
-            from jax.experimental import multihost_utils
-
-            with jax.enable_x64(True):
-                parts = np.asarray(multihost_utils.process_allgather(
-                    self.cm.matrix.reshape(-1).astype(np.float64)))
+            # one allgather combines every host's partial confusion matrix;
+            # the gather also acts as the barrier guaranteeing all hosts
+            # have finished writing their PNG slices before process 0
+            # re-scores them
+            parts = allgather_f64(self.cm.matrix.reshape(-1))
             k = self.cm.matrix.shape[0]
             self.cm.matrix = parts.sum(axis=0).reshape(k, k).astype(
                 self.cm.matrix.dtype)

@@ -89,22 +89,20 @@ def compute_ged(
     single allgather — validation wall-time scales down with host count and
     every host returns the identical global means.
     """
+    from ccdm_tpu.parallel.mesh import allgather_f64, host_slice, pad_chunk
+
     num_classes = model.diffusion.num_classes
     sampler = make_batched_sampler(model, num_samples, num_steps, feature_fn)
 
     total_ged = total_div = total_hm = 0.0
     count = 0
     n = len(dataset)
-    my_indices = list(range(n))[process_index::process_count]
+    my_indices = host_slice(n, process_index, process_count)
     bs = max(1, min(batch_size, n))
     for bi, start in enumerate(range(0, len(my_indices), bs)):
         if max_batches is not None and bi >= max_batches:
             break
-        chunk = my_indices[start:start + bs]
-        real = len(chunk)
-        # pad the tail batch (repeat last image) so the compiled sampler
-        # keeps one shape; only the real entries are scored
-        idx = chunk + [chunk[-1]] * (bs - real)
+        idx, real = pad_chunk(my_indices[start:start + bs], bs)
         samples = [dataset.get(i) for i in idx]
         images = np.stack([s["image"] for s in samples])
         labels = np.stack([s["labels"] for s in samples[:real]])  # [B,A,H,W,C]
@@ -123,15 +121,8 @@ def compute_ged(
         count += real
 
     if process_count > 1:
-        from jax.experimental import multihost_utils
-
-        # x64 transport, like the sibling gathers in lidc_uncertainty.py /
-        # cityscapes_eval.py — otherwise the f64 partials are silently
-        # truncated to f32 on the wire
-        with jax.enable_x64(True):
-            parts = np.asarray(multihost_utils.process_allgather(
-                np.asarray([total_ged, total_div, total_hm, float(count)],
-                           dtype=np.float64)))
+        parts = allgather_f64(
+            np.asarray([total_ged, total_div, total_hm, float(count)]))
         total_ged, total_div, total_hm, count = [float(x) for x in parts.sum(axis=0)]
 
     if count == 0:

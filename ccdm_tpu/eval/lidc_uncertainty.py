@@ -240,13 +240,11 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
     # the end. Each image's draws are keyed by its GLOBAL dataset position
     # (make_prob_sampler's `indices`), so results are identical for every
     # host count, batch size, and batch composition.
-    my_indices = list(range(n))[pidx::pcnt]
+    from ccdm_tpu.parallel.mesh import allgather_f64, host_slice, pad_chunk
+
+    my_indices = host_slice(n)
     for start in range(0, len(my_indices), batch_size):
-        # pad the tail batch by repeating the last image so the compiled
-        # sampler keeps one shape; only the `real` entries enter the metrics
-        chunk = my_indices[start:start + batch_size]
-        real = len(chunk)
-        idx = chunk + [chunk[-1]] * (batch_size - real)
+        idx, real = pad_chunk(my_indices[start:start + batch_size], batch_size)
         samples = [dataset.get(i) for i in idx]
         images = jnp.asarray(np.stack([s["image"] for s in samples]))
         labels = np.stack([s["labels"][...] for s in samples[:real]])  # [B,A,H,W,C]
@@ -295,18 +293,13 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
         # ONE allgather combines every host's partials: counts/sums reduce
         # by +, the wall-clock columns by max (hosts ran in parallel, so
         # aggregate throughput divides by the SLOWEST host)
-        from jax.experimental import multihost_utils
-
         scalars = np.concatenate([
             geds, div_samples, div_experts, hm_ious,
             cm.matrix.reshape(-1).astype(np.float64),
             [float(count), float(nonzero_total), float(steady_samples),
              float(steady_seconds), float(gen_seconds)],
-        ]).astype(np.float64)
-        # x64 transport: without it the gather silently truncates the f64
-        # partial sums (incl. integer CM counts beyond 2^24) to f32
-        with jax.enable_x64(True):
-            parts = np.asarray(multihost_utils.process_allgather(scalars))
+        ])
+        parts = allgather_f64(scalars)
         summed = parts.sum(axis=0)
         e = len(evaluations)
         geds, div_samples = summed[:e], summed[e:2 * e]

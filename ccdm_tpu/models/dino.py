@@ -358,7 +358,9 @@ class DinoFeatureEncoder:
         cls_attn = attn[:, jnp.asarray(SALIENCY_HEAD_IDXS), 0, 1:].mean(axis=1)
         lo = cls_attn.min(axis=1, keepdims=True)
         hi = cls_attn.max(axis=1, keepdims=True)
-        return (cls_attn - lo) / (hi - lo)
+        # eps guards constant attention (hi == lo would be 0/0; the reference
+        # divides unguarded, dino.py:339 — a zero map beats a NaN map)
+        return (cls_attn - lo) / jnp.maximum(hi - lo, 1e-12)
 
 
 def load_dino_npz(npz_path: str, params):

@@ -54,6 +54,49 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def host_slice(n: int, process_index: Optional[int] = None,
+               process_count: Optional[int] = None) -> list:
+    """This host's strided slice of `n` globally-indexed work items.
+
+    The standard eval-harness decomposition: host p of P scores items
+    [p, p+P, p+2P, ...]; results recombine with `allgather_f64` partial
+    sums. Per-item PRNG keys must derive from the GLOBAL index so any host
+    count produces identical draws. The index/count default to the real
+    process topology; pass them explicitly to simulate a layout.
+    """
+    p = jax.process_index() if process_index is None else process_index
+    c = jax.process_count() if process_count is None else process_count
+    return list(range(n))[p::c]
+
+
+def pad_chunk(chunk: list, batch_size: int) -> tuple:
+    """Pad a tail work chunk to `batch_size` by repeating its last item.
+
+    Keeps the compiled program at ONE batch shape; returns `(idx, real)` —
+    only the first `real` results may enter any metric. Repeating the last
+    GLOBAL index also keeps per-item PRNG keys topology-independent (the
+    padded duplicates draw the same noise as the real last item).
+    """
+    real = len(chunk)
+    return chunk + [chunk[-1]] * (batch_size - real), real
+
+
+def allgather_f64(values: np.ndarray) -> np.ndarray:
+    """Allgather a float64 vector across hosts -> [process_count, len] rows.
+
+    Rides `jax.enable_x64` for the transport: without it the gather
+    silently truncates f64 partial sums (including integer confusion-matrix
+    counts beyond 2^24) to f32. Callers reduce rows by + (counts/sums) or
+    max (parallel wall-clock). Also a barrier: returns only after every
+    host has contributed.
+    """
+    from jax.experimental import multihost_utils
+
+    with jax.enable_x64(True):
+        return np.asarray(multihost_utils.process_allgather(
+            np.asarray(values, dtype=np.float64)))
+
+
 def mesh_for_eval(generation_batch: int) -> Optional[Mesh]:
     """A local data mesh for eval-harness inference, or None.
 

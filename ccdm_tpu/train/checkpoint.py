@@ -143,8 +143,14 @@ def load_tree(path: str, step: Optional[int] = None) -> Dict[str, Any]:
     that only need `average_model` (parity: eval-side loading,
     `evaluate_lidc_uncertainty.py:138-143,157-161`)."""
     mgr_dir = _resolve_manager_dir(path)
-    mgr = ocp.CheckpointManager(mgr_dir)
-    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        # the manager exists only to resolve the latest step — close it
+        # (it owns background threads; eval paths call load_tree repeatedly)
+        mgr = ocp.CheckpointManager(mgr_dir)
+        try:
+            step = mgr.latest_step()
+        finally:
+            mgr.close()
     if step is None:
         raise FileNotFoundError(f"no checkpoint steps under {path!r}")
     # restore to host numpy (not the saved shardings): a checkpoint written

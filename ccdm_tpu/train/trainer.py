@@ -333,11 +333,10 @@ class TrainingRun:
         bs = max(1, min(self.batch_size // 4, n))
         ema = self.ema_unet()
         key = jax.random.fold_in(self._local_rng(), int(self.state.step))
+        from ccdm_tpu.parallel.mesh import pad_chunk
+
         for start in range(0, n, bs):
-            # pad the tail batch (repeat last sample) so the compiled sampler
-            # keeps one shape; only the real entries update the CM
-            real = min(bs, n - start)
-            idx = list(range(start, start + real)) + [start + real - 1] * (bs - real)
+            idx, real = pad_chunk(list(range(start, min(start + bs, n))), bs)
             samples = [self.val_ds.get(i) for i in idx]
             images = np.stack([s["image"] for s in samples])
             if "labels" in samples[0]:  # multi-annotator protocol

@@ -23,7 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_train(tmp_path):
+def test_two_process_distributed_train(tmp_path, monkeypatch):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
@@ -95,26 +95,23 @@ def test_two_process_distributed_train(tmp_path):
                 if l.startswith("CS_EVAL_RESULTS "))
     cs_sharded = json.loads(line[len("CS_EVAL_RESULTS "):])
 
-    os.environ["CCDM_CITYSCAPES_PATH"] = str(tmp_path / "mh_cs_data")
-    try:
-        from ccdm_tpu.eval.cityscapes_eval import run_inference
+    monkeypatch.setenv("CCDM_CITYSCAPES_PATH", str(tmp_path / "mh_cs_data"))
+    from ccdm_tpu.eval.cityscapes_eval import run_inference
 
-        cs_single = run_inference({
-            "output_path": str(tmp_path / "cs_single_out"),
-            "dataset_file": "ccdm_tpu.data.cityscapes",
-            "batch_size": 2, "time_steps": 2,
-            "beta_schedule": "cosine", "compute_dtype": "float32",
-            "evaluation": {"resolution": "dataloader", "evaluations": 2,
-                           "evaluation_vote_strategy": "confidence"},
-            "dataset_pipeline_val": ["resize", "torchvision_normalise"],
-            "dataset_pipeline_val_settings": {"target_size": [32, 64]},
-            "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
-                            "attention_resolutions": [4],
-                            "num_head_channels": 4},
-            "seed": 0,
-        })
-    finally:
-        del os.environ["CCDM_CITYSCAPES_PATH"]
+    cs_single = run_inference({
+        "output_path": str(tmp_path / "cs_single_out"),
+        "dataset_file": "ccdm_tpu.data.cityscapes",
+        "batch_size": 2, "time_steps": 2,
+        "beta_schedule": "cosine", "compute_dtype": "float32",
+        "evaluation": {"resolution": "dataloader", "evaluations": 2,
+                       "evaluation_vote_strategy": "confidence"},
+        "dataset_pipeline_val": ["resize", "torchvision_normalise"],
+        "dataset_pipeline_val_settings": {"target_size": [32, 64]},
+        "unet_openai": {"base_channels": 8, "channel_mult": [1, 2],
+                        "attention_resolutions": [4],
+                        "num_head_channels": 4},
+        "seed": 0,
+    })
     assert cs_sharded["images"] == cs_single["images"] == 4
     assert cs_single["mIoU"] == pytest.approx(cs_sharded["mIoU"], rel=1e-6)
     assert cs_single["official"]["averageScoreClasses"] == pytest.approx(
