@@ -127,13 +127,12 @@ def main():
     model = build_model(params_cfg, num_classes=2, image_channels=1, image_size=h)
     params = model.init(jax.random.PRNGKey(0), (h, w, 1))
     # multi-chip: shard the B*S generation batch over a data mesh (bitwise
-    # identical to single-device — tests/test_sharded_inference.py)
-    mesh = None
-    n_dev = len(jax.devices())
-    if n_dev > 1 and (num_images * num_samples) % n_dev == 0:
-        from ccdm_tpu.parallel.mesh import MeshConfig, make_mesh
+    # identical to single-device — tests/test_sharded_inference.py); same
+    # policy as the eval harnesses
+    from ccdm_tpu.parallel.mesh import mesh_for_eval
 
-        mesh = make_mesh(MeshConfig(data=n_dev))
+    mesh = mesh_for_eval(num_images * num_samples)
+    n_dev = len(jax.devices())
     sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh)
 
     rng = np.random.default_rng(0)
@@ -143,9 +142,9 @@ def main():
     if int8_mode == "static":
         from ccdm_tpu.ops import quant
 
-        # the same calibration entry point the eval harnesses use
-        quant.auto_calibrate_static(model, params, images[:2])
-        # rebuild so the baked scales enter a fresh trace
+        # the same calibration entry point the eval harnesses use; the
+        # scales travel with the model, so rebuild the sampler from it
+        model = quant.calibrate_static_scales(model, params, images[:2])
         sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh)
 
     # warmup (compile); force a real host readback — through the axon tunnel

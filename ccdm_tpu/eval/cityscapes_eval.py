@@ -94,7 +94,7 @@ class CityscapesEvaluator:
             # the absmax passes on top of that)
             from ccdm_tpu.ops import quant
 
-            quant.auto_calibrate_static(
+            self.model = quant.calibrate_static_scales(
                 self.model, self.model_params,
                 np.stack([dataset.get(i, np.random.default_rng(i))["image"]
                           for i in range(min(2, len(dataset)))]),
@@ -243,19 +243,13 @@ def run_inference(params: Dict[str, Any]) -> Dict:
     )
     LOGGER.info("%d images in cityscapes validation set", len(dataset))
     ev = CityscapesEvaluator(params)
-    try:
-        # clamp the batch to the scored image count BEFORE build() decides
-        # the mesh layout, so the compiled batch matches the divisibility
-        # check (lidc_uncertainty.py does the same)
-        max_images = params.get("max_images")
-        n = min(len(dataset), max_images) if max_images else len(dataset)
-        batch_size = min(int(params.get("batch_size", 2)), max(n, 1))
-        ev.build(dataset, batch_size)
-        return ev.run(dataset, batch_size=batch_size,
-                      key=jax.random.PRNGKey(int(params.get("seed", 0))),
-                      max_images=max_images)
-    finally:
-        # drop any calibrated static-int8 scales installed by build()
-        from ccdm_tpu.ops import quant
-
-        quant.set_static_scales(None)
+    # clamp the batch to the scored image count BEFORE build() decides
+    # the mesh layout, so the compiled batch matches the divisibility
+    # check (lidc_uncertainty.py does the same)
+    max_images = params.get("max_images")
+    n = min(len(dataset), max_images) if max_images else len(dataset)
+    batch_size = min(int(params.get("batch_size", 2)), max(n, 1))
+    ev.build(dataset, batch_size)
+    return ev.run(dataset, batch_size=batch_size,
+                  key=jax.random.PRNGKey(int(params.get("seed", 0))),
+                  max_images=max_images)

@@ -97,11 +97,14 @@ def compute_ged(
     total_ged = total_div = total_hm = 0.0
     count = 0
     n = len(dataset)
-    my_indices = host_slice(n, process_index, process_count)
     bs = max(1, min(batch_size, n))
-    for bi, start in enumerate(range(0, len(my_indices), bs)):
-        if max_batches is not None and bi >= max_batches:
-            break
+    if max_batches is not None:
+        # a GLOBAL image budget (max_batches single-host batches), then
+        # host-sharded: the scored image set — and therefore the returned
+        # means — is identical for every process_count
+        n = min(n, max_batches * bs)
+    my_indices = host_slice(n, process_index, process_count)
+    for start in range(0, len(my_indices), bs):
         idx, real = pad_chunk(my_indices[start:start + bs], bs)
         samples = [dataset.get(i) for i in idx]
         images = np.stack([s["image"] for s in samples])

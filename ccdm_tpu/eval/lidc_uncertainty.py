@@ -165,19 +165,6 @@ def build_eval_feature_fn(params: Dict[str, Any], image_shape):
 
 def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = None,
                           model_params=None) -> Dict[str, Any]:
-    try:
-        return _eval_lidc_uncertainty_impl(params, num_steps, model_params)
-    finally:
-        # drop any calibrated static-int8 scales installed for this run so a
-        # later sampler in the same process starts clean
-        from ccdm_tpu.ops import quant
-
-        quant.set_static_scales(None)
-
-
-def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
-                                num_steps: Optional[int] = None,
-                                model_params=None) -> Dict[str, Any]:
     params = with_defaults(params)
     params.setdefault("step_T_sample", params.get("evaluation_vote_strategy", "confidence"))
     module = resolve_dataset_module(params["dataset_file"])
@@ -200,13 +187,13 @@ def _eval_lidc_uncertainty_impl(params: Dict[str, Any],
 
     if str(params.get("quantized_inference", "")).lower() == "static":
         # calibrated static activation scales: one short eager rollout on the
-        # first test images, then absmax tables baked into the compiled
-        # sampler (ops/quant.py; measured +8% over float vs -12% for the
-        # dynamic-scale mode on the flagship config — PERFNOTES.md)
+        # first test images; the scales travel with the model and enter the
+        # compiled sampler as constants (ops/quant.py; measured +8% over
+        # float vs -12% for the dynamic-scale mode — PERFNOTES.md)
         from ccdm_tpu.ops import quant
 
         n_cal = min(len(dataset), 2)
-        quant.auto_calibrate_static(
+        model = quant.calibrate_static_scales(
             model, model_params,
             np.stack([dataset.get(i)["image"] for i in range(n_cal)]),
             feature_fn=feature_fn)

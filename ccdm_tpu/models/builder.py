@@ -35,6 +35,9 @@ class DenoisingModel:
     diffusion: CategoricalDiffusion
     unet: UNetModel
     step_T_sample: str = "majority"
+    # calibrated int8 activation absmax tree, applied as the "quant_scales"
+    # variable collection (ops/quant.py::calibrate_sampler); None = dynamic
+    quant_scales: Optional[Any] = None
 
     @property
     def time_steps(self) -> int:
@@ -53,16 +56,29 @@ class DenoisingModel:
             fc = jnp.zeros((batch, fh, fw, fc_ch), jnp.float32)
         return self.unet.init({"params": key}, xt, cond, t, fc)["params"]
 
+    def with_quant_scales(self, scales) -> "DenoisingModel":
+        """Model whose QuantConvs use calibrated static activation scales.
+
+        `scales` is the tree returned by `ops.quant.calibrate_sampler`; jit
+        traces of this model bake the values in as constants."""
+        return dataclasses.replace(self, quant_scales=scales)
+
+    def _variables(self, params) -> dict:
+        if self.quant_scales is not None:
+            return {"params": params, "quant_scales": self.quant_scales}
+        return {"params": params}
+
     def apply(self, params, xt, condition, t, feature_condition=None, *,
               deterministic: bool = True, rngs=None, mutable=None) -> dict:
         if mutable is not None:
             # returns (outputs, mutated_vars) — used by int8 scale
             # calibration to collect "quant_stats" (ops/quant.py)
-            return self.unet.apply({"params": params}, xt, condition, t,
+            return self.unet.apply(self._variables(params), xt, condition, t,
                                    feature_condition,
                                    deterministic=deterministic, rngs=rngs,
                                    mutable=mutable)
-        return self.unet.apply({"params": params}, xt, condition, t, feature_condition,
+        return self.unet.apply(self._variables(params), xt, condition, t,
+                               feature_condition,
                                deterministic=deterministic, rngs=rngs)
 
     def denoise_fn(self, params, condition, feature_condition=None):

@@ -23,7 +23,7 @@ float path; quantization noise is re-sampled away by the ancestral chain
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -45,27 +45,8 @@ def quantize_symmetric(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
 # calibrated table.
 STATIC_ACTIVATION_SCALE: Optional[float] = None
 
-# Calibrated per-conv-site activation scales: {module path -> absmax}. When
-# set (see `set_static_scales` / `calibrate_sampler`), QuantConv bakes
-# `absmax/127` in as a compile-time constant — the in-graph absmax reduce and
-# its fusion-breaking HBM pass disappear (measured +8% end-to-end on the
-# flagship sampler vs the float path; dynamic scales are -12%).
-_STATIC_SCALES: Optional[Dict[str, float]] = None
-
-
-def set_static_scales(scales: Optional[Dict[str, float]]) -> None:
-    """Install (or clear, with None) calibrated per-site activation absmax.
-
-    The values are baked into the NEXT trace as constants: install before
-    building the jitted sampler. (A fresh `jax.jit` wrapper per sampler —
-    what `make_prob_sampler` does — guarantees no stale-cache reuse.)
-    """
-    global _STATIC_SCALES
-    _STATIC_SCALES = dict(scales) if scales is not None else None
-
-
 def calibrate_sampler(model, params, images: jnp.ndarray, key: jax.Array,
-                      num_steps: int = 8, feature_fn=None) -> Dict[str, float]:
+                      num_steps: int = 8, feature_fn=None):
     """Per-conv-site activation absmax from a short ancestral rollout.
 
     Runs `num_steps` subsampled reverse steps (the real sampler recurrence,
@@ -74,7 +55,14 @@ def calibrate_sampler(model, params, images: jnp.ndarray, key: jax.Array,
     collection: QuantConv sows its input absmax (and runs the float conv so
     downstream statistics are exact). A handful of images and ~8 steps is
     plenty: the GN-normalised conv inputs are tightly concentrated.
-    Returns the scales table for `set_static_scales`.
+
+    Returns the "quant_scales" collection tree (module-path-structured,
+    leaf `act_absmax` per quantized conv) for
+    `DenoisingModel.with_quant_scales`. Because the model closes over the
+    tree, the scales enter each sampler trace as compile-time constants —
+    the in-graph absmax reduce and its fusion-breaking HBM pass disappear
+    (measured +8% end-to-end on the flagship sampler vs the float path;
+    dynamic scales are -12%).
     """
     from ccdm_tpu.diffusion.categorical import sample_onehot, theta_post_prob
     from ccdm_tpu.diffusion.sampling import sample_prior, subsampled_t_values
@@ -91,30 +79,32 @@ def calibrate_sampler(model, params, images: jnp.ndarray, key: jax.Array,
         probs = jnp.clip(theta_post_prob(model.diffusion, xt, p0, t), min=1e-12)
         return sample_onehot(step_key, probs), mutated["quant_stats"]
 
-    stats: Dict[str, float] = {}
+    import numpy as np
+
+    scales = None
     xt = sample_prior(key, b, h, w, model.diffusion.num_classes)
     for i, t_s in enumerate(subsampled_t_values(model.time_steps, num_steps)):
         t = jnp.full((b,), int(t_s), jnp.int32)
         xt, qs = cal_step(xt, t, jax.random.fold_in(key, i))
-        for path, leaf in jax.tree_util.tree_flatten_with_path(qs)[0]:
-            site = "/".join(str(getattr(k, "key", k)) for k in path)
-            site = site.removesuffix("/act_absmax")
-            stats[site] = max(stats.get(site, 0.0), float(leaf))
+        qs = jax.tree.map(np.asarray, qs)  # host constants, not device refs
+        scales = qs if scales is None else jax.tree.map(np.maximum, scales, qs)
     LOGGER.info("calibrated %d quantized conv sites over %d sampler steps",
-                len(stats), num_steps)
-    return stats
+                len(jax.tree.leaves(scales)), num_steps)
+    return scales
 
 
-def auto_calibrate_static(model, params, images, feature_fn=None) -> None:
-    """Calibrate per-site activation scales on `images` and install them.
+def calibrate_static_scales(model, params, images, feature_fn=None):
+    """Calibrated static scales on `images` -> a model that uses them.
 
     The shared `quantized_inference: static` entry point for the eval
-    harnesses: calibrate on the first test images, then bake the absmax
-    tables into the next-built sampler (`set_static_scales` semantics).
+    harnesses and bench: calibrate on the first test images, return
+    `model.with_quant_scales(scales)` — build samplers from THAT model.
+    The scales travel with the model instance (no process-global state),
+    so concurrent or subsequent models cannot inherit a stale table.
     """
-    set_static_scales(calibrate_sampler(
-        model, params, jnp.asarray(images), jax.random.PRNGKey(0),
-        feature_fn=feature_fn))
+    scales = calibrate_sampler(model, params, jnp.asarray(images),
+                               jax.random.PRNGKey(0), feature_fn=feature_fn)
+    return model.with_quant_scales(scales)
 
 
 def quantized_conv(
@@ -186,9 +176,11 @@ class QuantConv(nn.Module):
                 dimension_numbers=dn)
             return (y + bias).astype(x.dtype)
         act_scale = None
-        if _STATIC_SCALES is not None:
-            site = "/".join(self.path)
-            if site in _STATIC_SCALES:
-                act_scale = max(_STATIC_SCALES[site], 1e-8) / 127.0
+        if self.has_variable("quant_scales", "act_absmax"):
+            # calibrated static scale: provided as a "quant_scales" collection
+            # (DenoisingModel.with_quant_scales) — a closure constant under
+            # jit, so no in-graph absmax reduce
+            absmax = self.get_variable("quant_scales", "act_absmax")
+            act_scale = jnp.maximum(jnp.float32(absmax), 1e-8) / 127.0
         return quantized_conv(x, kernel, bias, self.strides, self.padding,
                               act_scale=act_scale)

@@ -333,10 +333,14 @@ class TrainingRun:
         bs = max(1, min(self.batch_size // 4, n))
         ema = self.ema_unet()
         key = jax.random.fold_in(self._local_rng(), int(self.state.step))
-        from ccdm_tpu.parallel.mesh import pad_chunk
+        from ccdm_tpu.parallel.mesh import allgather_f64, host_slice, pad_chunk
 
-        for start in range(0, n, bs):
-            idx, real = pad_chunk(list(range(start, min(start + bs, n))), bs)
+        # host-sharded like compute_ged: each host samples only its strided
+        # slice (global-index keys keep the result topology-invariant), and
+        # one allgather combines the partial confusion matrices
+        my_indices = host_slice(n)
+        for start in range(0, len(my_indices), bs):
+            idx, real = pad_chunk(my_indices[start:start + bs], bs)
             samples = [self.val_ds.get(i) for i in idx]
             images = np.stack([s["image"] for s in samples])
             if "labels" in samples[0]:  # multi-annotator protocol
@@ -350,6 +354,10 @@ class TrainingRun:
             # only masks the reported vector, `trainer.py:398-407`); the
             # official eval path drops the channel instead (eval_cdm.py:229)
             cm.update(np.asarray(preds)[:real, 0], true[:real])
+        if jax.process_count() > 1:
+            parts = allgather_f64(cm.matrix.reshape(-1))
+            cm.matrix = parts.sum(axis=0).reshape(cm.matrix.shape).astype(
+                cm.matrix.dtype)
         return cm.miou()
 
     def save_qualitative(self, num_images: Optional[int] = None,
@@ -525,6 +533,11 @@ class TrainingRun:
                             LOGGER.warning("qualitative grid failed: %s", e)
                 if max_steps is not None and total >= max_steps:
                     drain(block_all=True)
+                    # the early exit is still a run end: persist the final
+                    # state (save_freq may never have fired) so a follow-up
+                    # eval loads THESE weights, not a stale/absent step
+                    self.checkpoints.save_periodic(self.state)
+                    self.checkpoints.wait()
                     return self.state
             drain(block_all=True)
         self.checkpoints.save_periodic(self.state)

@@ -41,6 +41,15 @@ def main() -> int:
     with open(os.path.join(REPO, "configs", "params_demo_eval.yml")) as f:
         eval_params = yaml.safe_load(f)
 
+    # a fresh run dir every time: a leftover checkpoint from an earlier
+    # (possibly longer) run would otherwise be the `latest_step` the eval
+    # silently loads, gating stale weights
+    import shutil
+
+    run_dir = os.path.expandvars(train_params["output_path"])
+    if os.path.isdir(run_dir):
+        shutil.rmtree(run_dir)
+
     from ccdm_tpu.train.trainer import run_train
 
     state = run_train(train_params, max_steps=steps)

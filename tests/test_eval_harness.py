@@ -53,12 +53,8 @@ def test_eval_lidc_uncertainty_static_int8(tiny_synthetic):
     """`quantized_inference: static` auto-calibrates per-site activation
     scales and runs the whole harness through the baked-scale int8 sampler."""
     from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
-    from ccdm_tpu.ops import quant
 
-    try:
-        res = eval_lidc_uncertainty(dict(EVAL_PARAMS, quantized_inference="static"))
-    finally:
-        quant.set_static_scales(None)
+    res = eval_lidc_uncertainty(dict(EVAL_PARAMS, quantized_inference="static"))
     assert res["count"] == 4
     assert 0.0 <= res["GED_2"] <= 2.0
     assert all(0.0 <= d <= 1.0 for d in res["Dice"])
@@ -77,3 +73,41 @@ def test_eval_results_batch_size_invariant(tiny_synthetic):
         for k in ("GED_1", "GED_2", "HMIoU_2", "diversity_2", "mIoU",
                   "nonzero_fraction"):
             assert runs[0][k] == pytest.approx(other[k], rel=1e-6), k
+
+
+def test_compute_ged_max_batches_topology_invariant(tiny_synthetic):
+    """`validation_max_batches` is a GLOBAL image budget: the scored image
+    set — and the count-weighted combination of per-host partial means —
+    is identical for any simulated process_count."""
+    import jax
+    import numpy as np
+
+    import ccdm_tpu.data.synthetic as syn
+    from ccdm_tpu.eval.ged_eval import compute_ged
+    from ccdm_tpu.models.builder import build_model
+    from ccdm_tpu.parallel.mesh import host_slice
+
+    ds = syn.synthetic_test_dataset(n=4, resolution=32)
+    model = build_model(EVAL_PARAMS, num_classes=2, image_channels=1,
+                        image_size=32)
+    params = model.init(jax.random.PRNGKey(0), (32, 32, 1))
+    key = jax.random.PRNGKey(5)
+    bs, max_batches = 2, 1
+
+    full = compute_ged(model, params, ds, num_samples=2, batch_size=bs,
+                       key=key, max_batches=max_batches)
+    n_eff = min(len(ds), max_batches * bs)
+    parts, counts = [], []
+    for pi in (0, 1):
+        # single-process simulation: the combining allgather degenerates to
+        # identity (one real process), so each call returns host pi's
+        # partial means over its own strided slice
+        parts.append(compute_ged(model, params, ds, num_samples=2,
+                                 batch_size=bs, key=key,
+                                 max_batches=max_batches,
+                                 process_index=pi, process_count=2))
+        counts.append(len(host_slice(n_eff, pi, 2)))
+    assert sum(counts) == n_eff == 2
+    for m, (a, b) in enumerate(zip(*parts)):
+        combined = (a * counts[0] + b * counts[1]) / sum(counts)
+        np.testing.assert_allclose(combined, full[m], rtol=1e-6)

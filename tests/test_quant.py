@@ -122,19 +122,16 @@ def test_static_scale_calibration_and_sampler():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((2, 16, 16, 1)), jnp.float32)
 
-    stats = quant.calibrate_sampler(model, params, images, jax.random.PRNGKey(3),
-                                    num_steps=3)
-    assert stats and all(v > 0 for v in stats.values())
-    # one entry per quantized conv site, path-addressed
-    assert all("/" in k or k for k in stats)
+    scales = quant.calibrate_sampler(model, params, images, jax.random.PRNGKey(3),
+                                     num_steps=3)
+    leaves = jax.tree.leaves(scales)
+    assert leaves and all(float(v) > 0 for v in leaves)
 
     key = jax.random.PRNGKey(7)
     dyn = np.asarray(make_prob_sampler(model, 2, 4)(params, images, key))
-    try:
-        quant.set_static_scales(stats)
-        stat = np.asarray(make_prob_sampler(model, 2, 4)(params, images, key))
-    finally:
-        quant.set_static_scales(None)
+    # the scales travel with the model (no global state to clean up)
+    static_model = model.with_quant_scales(scales)
+    stat = np.asarray(make_prob_sampler(static_model, 2, 4)(params, images, key))
     assert np.isfinite(stat).all()
     assert stat.shape == dyn.shape
     # same RNG, slightly different scales: distributions agree closely

@@ -67,6 +67,20 @@ def test_run_train_smoke(tmp_path, tiny_synthetic):
     assert int(state2.step) == 6  # 4 restored + 2 new
 
 
+def test_max_steps_exit_saves_final_checkpoint(tmp_path, tiny_synthetic):
+    """An early `max_steps` exit persists the final state even when save_freq
+    never fired — a follow-up eval must load THESE weights (the demo-gate
+    flow: run_train(max_steps) then eval on `latest_step`)."""
+    from ccdm_tpu.train.checkpoint import load_tree
+    from ccdm_tpu.train.trainer import run_train
+
+    params = dict(SMOKE_PARAMS, output_path=str(tmp_path / "run"),
+                  save_freq=1000, validation_freq=1000)
+    run_train(params, max_steps=3)
+    tree = load_tree(str(tmp_path / "run"))
+    assert int(np.asarray(tree["step"])) == 3
+
+
 def test_resume_trajectory_identical(tmp_path, tiny_synthetic):
     """Engine-state resume parity (`ddpm/trainer.py:374,582-586`):
     train(2 epochs) must be BIT-IDENTICAL to train-interrupted-mid-epoch +
