@@ -225,9 +225,10 @@ def color_jitter(brightness: float = 0.5, contrast: float = 0.5,
     def fn(img, lbl, rng, metadata=None):
         img = _ensure_hwc(np.asarray(img))
         in_dtype = img.dtype  # preserved through the float working copy
-        img = img.astype(np.float32)
-        scale = 255.0 if img.max() > 1.5 else 1.0
-        x = img / scale
+        # range keyed on DTYPE, not a data-dependent max(): a nearly-black
+        # uint8 frame (max <= 1) is still 0..255-scaled
+        scale = 255.0 if np.issubdtype(in_dtype, np.integer) else 1.0
+        x = img.astype(np.float32) / scale
         ops = []
         if brightness:
             f = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
@@ -258,8 +259,13 @@ def normalize(mean=IMAGENET_MEAN, std=IMAGENET_STD) -> TransformFn:
     std = np.asarray(std, np.float32)
 
     def fn(img, lbl, rng, metadata=None):
-        img = _ensure_hwc(np.asarray(img)).astype(np.float32)
-        if img.max() > 1.5:
+        img = _ensure_hwc(np.asarray(img))
+        # integer (0..255) inputs scale to [0,1]; float inputs are assumed
+        # already scaled — keyed on dtype (the pipeline preserves it), not a
+        # data-dependent max() that misreads nearly-black uint8 frames
+        is_int = np.issubdtype(img.dtype, np.integer)
+        img = img.astype(np.float32)
+        if is_int:
             img = img / 255.0
         c = img.shape[-1]
         img = (img - mean[:c]) / std[:c]

@@ -31,25 +31,35 @@ LOGGER = logging.getLogger(__name__)
 
 def make_batched_sampler(model: DenoisingModel, num_samples: int,
                          num_steps: Optional[int] = None, feature_fn=None):
-    """Returns a jitted `(params, images [B,H,W,Ci], key, indices=None) -> [B,S,H,W] int32`.
+    """Returns a jitted `(params, images [B,H,W,Ci], key, indices=None,
+    feature_params=None) -> [B,S,H,W] int32`.
 
-    Compiles once per (B, S, K) combination and is reused across batches.
+    Compiles once per (B, S, K) combination and is reused across batches —
+    cache and reuse the returned function across validation events too (a
+    fresh `make_batched_sampler` per event re-traces and re-compiles the
+    whole K-step scan).
+
     `feature_fn` optionally computes the DINO feature condition from the
     images once per batch; it is repeated across the sample axis exactly
-    like the condition itself (`trainer.py:151-155` parity).
+    like the condition itself (`trainer.py:151-155` parity). Weights that
+    CHANGE across calls (the trainable-encoder EMA) must not be closed
+    over — pass a 2-arg `feature_fn(feature_params, images)` and supply
+    `feature_params` at each call instead.
     """
     cfg = SamplerConfig(num_steps=num_steps or model.time_steps,
                         step_T_sample=model.step_T_sample)
     c = model.diffusion.num_classes
 
-    def run(params, images, key, indices=None):
+    def run(params, images, key, indices=None, feature_params=None):
         b, h, w, _ = images.shape
         if indices is None:
             indices = jnp.arange(b, dtype=jnp.int32)
         cond = jnp.repeat(images, num_samples, axis=0)
         fc = None
         if feature_fn is not None:
-            fc = jnp.repeat(feature_fn(images), num_samples, axis=0)
+            feats = (feature_fn(feature_params, images)
+                     if feature_params is not None else feature_fn(images))
+            fc = jnp.repeat(feats, num_samples, axis=0)
         # one key per (image, sample) folded on the global flat id: draws are
         # independent of batch composition/host count (see make_prob_sampler)
         gid = (indices[:, None] * num_samples
@@ -76,6 +86,8 @@ def compute_ged(
     num_steps: Optional[int] = None,
     max_batches: Optional[int] = None,
     feature_fn=None,
+    feature_params=None,
+    sampler=None,
     process_index: int = 0,
     process_count: int = 1,
 ):
@@ -92,7 +104,8 @@ def compute_ged(
     from ccdm_tpu.parallel.mesh import allgather_f64, host_slice, pad_chunk
 
     num_classes = model.diffusion.num_classes
-    sampler = make_batched_sampler(model, num_samples, num_steps, feature_fn)
+    if sampler is None:
+        sampler = make_batched_sampler(model, num_samples, num_steps, feature_fn)
 
     total_ged = total_div = total_hm = 0.0
     count = 0
@@ -114,7 +127,8 @@ def compute_ged(
         # per-image keys from the GLOBAL dataset positions: the same image
         # gets the same draws for any host count or batch composition
         preds = sampler(params, jnp.asarray(images), key,
-                        jnp.asarray(idx, jnp.int32))[:real]  # [B,S,H,W]
+                        jnp.asarray(idx, jnp.int32),
+                        feature_params=feature_params)[:real]  # [B,S,H,W]
 
         ged, div_s, _ = generalised_energy_distance(preds, jnp.asarray(refs), num_classes)
         hm = hungarian_matched_iou(preds, jnp.asarray(refs), num_classes)

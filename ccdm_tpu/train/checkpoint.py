@@ -176,12 +176,17 @@ def load_checkpoint(path: str, state, step: Optional[int] = None):
         candidate = os.path.join(path, "model")
         if any(s.isdigit() for s in os.listdir(candidate)):
             path = candidate
+    # close the manager when done — it owns background threads (same
+    # discipline as load_tree above)
     mgr = ocp.CheckpointManager(path)
-    step = step if step is not None else mgr.latest_step()
-    if step is None:
-        raise FileNotFoundError(f"no checkpoint steps under {path!r}")
-    template = jax.tree.map(np.asarray, _tree_of(state))
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    try:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint steps under {path!r}")
+        template = jax.tree.map(np.asarray, _tree_of(state))
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    finally:
+        mgr.close()
     if _is_composite(state.params):
         params = {"unet": restored["model"],
                   "encoder": restored["feature_cond_encoder"]}

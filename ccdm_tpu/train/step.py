@@ -21,6 +21,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ccdm_tpu.diffusion.categorical import (
     categorical_kl,
@@ -118,7 +119,7 @@ def make_train_step(
             "loss": loss,
             "invalid": aux["invalid"],
             "kl_min": aux["kl_min"],
-            "grad_norm": optax_global_norm(grads),
+            "grad_norm": optax.global_norm(grads),
             "num_items": jnp.asarray(batch["x0"].shape[0], jnp.int32),
         }
         if lr_schedule is not None:
@@ -126,11 +127,6 @@ def make_train_step(
         return new_state, metrics
 
     return step
-
-
-def optax_global_norm(tree) -> jnp.ndarray:
-    leaves = jax.tree.leaves(tree)
-    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
 
 
 def make_multi_step(step_fn: Callable) -> Callable:

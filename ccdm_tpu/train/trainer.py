@@ -78,17 +78,30 @@ def _class_weights(params: Dict[str, Any], dataset_module, num_classes: int) -> 
     return jnp.asarray(w)
 
 
+def _accepts_param(fn, name: str) -> bool:
+    """Whether `fn` takes a parameter called `name` (dataset-module protocol
+    dispatch by signature — catching TypeError instead would also swallow
+    genuine TypeErrors raised INSIDE the dataset constructor, silently
+    retrying without the configured transform pipeline)."""
+    import inspect
+
+    try:
+        return name in inspect.signature(fn).parameters
+    except (TypeError, ValueError):  # builtins/extension fns: assume modern
+        return True
+
+
 def _build_datasets(params: Dict[str, Any]):
     """Dataset module resolution + loaders (parity: `trainer.py:613-677`)."""
     module = resolve_dataset_module(params["dataset_file"])
-    try:
+    if _accepts_param(module.training_dataset, "params"):
         train_ds = module.training_dataset(params)  # cityscapes signature
-    except TypeError:
+    else:
         train_ds = module.training_dataset()
     val_max = params.get("dataset_val_max_size", 100)
-    try:
+    if _accepts_param(module.validation_dataset, "params"):
         val_ds = module.validation_dataset(max_size=val_max, params=params)
-    except TypeError:
+    else:
         val_ds = module.validation_dataset(max_size=val_max)
     LOGGER.info("%d train / %d val images in %s", len(train_ds), len(val_ds),
                 params["dataset_file"])
@@ -184,6 +197,12 @@ class TrainingRun:
             process_index=jax.process_index(), process_count=jax.process_count(),
             num_workers=int(params.get("mp_loaders", 0)))
         steps_per_epoch = len(self.loader)
+        if steps_per_epoch == 0:
+            # an empty epoch would make the step loop spin forever under an
+            # explicit max_steps budget (no batch ever advances `total`)
+            raise ValueError(
+                f"batch_size {self.batch_size} exceeds the training set "
+                f"({len(self.train_ds)} images): zero steps per epoch")
         tx, self.lr_schedule = build_optimizer(params, steps_per_epoch)
         state = create_train_state(init_params, tx,
                                    polyak_alpha=float(params["polyak_alpha"]))
@@ -232,17 +251,34 @@ class TrainingRun:
             jax.random.PRNGKey(int(params.get("seed", 0)) + 1), self.rep)
         self.steps_per_epoch = steps_per_epoch
         self.is_main = jax.process_index() == 0
+        self._samplers = {}  # (num_samples, num_steps) -> jitted sampler
 
     # ---- validation ------------------------------------------------------
 
-    def _val_feature_fn(self):
-        """Feature fn for eval: the EMA (average) encoder when trainable
-        (parity: `predict` uses average_feature_cond_encoder,
-        `trainer.py:350-352`)."""
+    def _val_feature_params(self):
+        """Feature-encoder params for eval sampling: the EMA (average)
+        encoder when trainable (parity: `predict` uses
+        average_feature_cond_encoder, `trainer.py:350-352`), else None
+        (frozen weights are closed over by the cached sampler)."""
         if self.encoder_apply is not None:
-            enc_ema = self.ema_unwrap()["encoder"]
-            return lambda img: self.encoder_apply(enc_ema, img)
-        return self.feature_fn
+            return self.ema_unwrap()["encoder"]
+        return None
+
+    def _val_sampler(self, num_samples: int, num_steps: Optional[int] = None):
+        """Cached jitted batched sampler for validation/qualitative passes.
+
+        Built ONCE per (num_samples, num_steps) and reused across validation
+        events — rebuilding re-traces and re-compiles the whole K-step scan
+        every validation_freq steps. Safe to cache because everything the
+        sampler closes over (model, frozen feature weights) is constant for
+        the run; EMA unet params and the trainable-encoder EMA enter as call
+        arguments (`feature_params`)."""
+        key = (num_samples, num_steps)
+        if key not in self._samplers:
+            fn = self.encoder_apply if self.encoder_apply is not None else self.feature_fn
+            self._samplers[key] = make_batched_sampler(
+                self.model, num_samples, num_steps, feature_fn=fn)
+        return self._samplers[key]
 
     def _local_rng(self):
         """Validation key usable in the process-LOCAL sampler jit: the
@@ -300,7 +336,8 @@ class TrainingRun:
                 self.model, self.ema_unet(), self.val_ds, num_samples,
                 val_bs, jax.random.fold_in(self._local_rng(), int(self.state.step)),
                 max_batches=int(params.get("validation_max_batches", 0)) or None,
-                feature_fn=self._val_feature_fn(),
+                sampler=self._val_sampler(num_samples),
+                feature_params=self._val_feature_params(),
                 # each host scores its slice of the val set; combined means
                 process_index=jax.process_index(),
                 process_count=jax.process_count())
@@ -324,8 +361,7 @@ class TrainingRun:
     def validate_miou(self, max_images: Optional[int] = 16) -> float:
         """Full-sampler prediction -> confusion-matrix mIoU (parity:
         `test_step` + ignite CM, `trainer.py:329-342,398-407`)."""
-        sampler = make_batched_sampler(self.model, num_samples=1,
-                                       feature_fn=self._val_feature_fn())
+        sampler = self._val_sampler(1)
         cm = ConfusionMatrix(self.num_classes, self.ignore_class)
         n = min(len(self.val_ds), max_images or len(self.val_ds))
         if n == 0:
@@ -348,7 +384,8 @@ class TrainingRun:
             else:
                 true = np.stack([s["label"] for s in samples])
             preds = sampler(ema, jnp.asarray(images), key,
-                            jnp.asarray(idx, jnp.int32))
+                            jnp.asarray(idx, jnp.int32),
+                            feature_params=self._val_feature_params())
             # prediction argmax spans all channels incl. the ignore class —
             # matching the reference's in-training CM (ignite ignore_index
             # only masks the reported vector, `trainer.py:398-407`); the
@@ -374,10 +411,10 @@ class TrainingRun:
             labels = np.argmax(np.stack([s["labels"][0] for s in samples]), -1)
         else:
             labels = np.stack([s["label"] for s in samples])
-        sampler = make_batched_sampler(self.model, num_samples=num_predictions,
-                                       feature_fn=self._val_feature_fn())
+        sampler = self._val_sampler(num_predictions)
         preds = np.asarray(sampler(self.ema_unet(), jnp.asarray(images),
-                                   jax.random.fold_in(self._local_rng(), 123)))
+                                   jax.random.fold_in(self._local_rng(), 123),
+                                   feature_params=self._val_feature_params()))
         grid = prediction_grid(images, labels, preds, self.num_classes)
         path = os.path.join(self.output_path, f"images_{int(self.state.step):06d}.png")
         return save_grid(grid, path)
