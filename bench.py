@@ -159,7 +159,10 @@ def main():
     assert np.isfinite(acc)
 
     total_samples = num_images * num_samples * reps
-    samples_per_sec = total_samples / dt
+    # per-chip headline: divide aggregate throughput by the chips actually
+    # used (the mesh shards the generation batch when >1 chip is visible)
+    chips_used = mesh.devices.size if mesh is not None else 1
+    samples_per_sec = total_samples / dt / chips_used
 
     vs_baseline = None
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -182,6 +185,7 @@ def main():
             "quantized_inference": {"static": "int8-static", "1": "int8-dynamic"}.get(int8_mode, "off"),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]), "n_devices": n_dev,
+            "chips_used": chips_used,
         },
     }))
 

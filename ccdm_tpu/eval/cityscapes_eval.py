@@ -239,7 +239,7 @@ def run_inference(params: Dict[str, Any]) -> Dict:
     dataset = cs_data.validation_dataset(
         max_size=params.get("dataset_val_max_size"),
         params=params,
-        return_metadata=params.get("evaluation", {}).get("resolution") == "original",
+        return_metadata=(params.get("evaluation") or {}).get("resolution") == "original",
     )
     LOGGER.info("%d images in cityscapes validation set", len(dataset))
     ev = CityscapesEvaluator(params)

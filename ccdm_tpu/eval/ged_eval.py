@@ -18,11 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ccdm_tpu.diffusion.sampling import (
-    SamplerConfig,
-    ancestral_sampler,
-    sample_prior_per_key,
-)
 from ccdm_tpu.eval.metrics import generalised_energy_distance, hungarian_matched_iou
 from ccdm_tpu.models.builder import DenoisingModel
 
@@ -46,32 +41,17 @@ def make_batched_sampler(model: DenoisingModel, num_samples: int,
     over — pass a 2-arg `feature_fn(feature_params, images)` and supply
     `feature_params` at each call instead.
     """
-    cfg = SamplerConfig(num_steps=num_steps or model.time_steps,
-                        step_T_sample=model.step_T_sample)
-    c = model.diffusion.num_classes
+    # one shared core: the batch-composition-independent PRNG discipline
+    # (global-id key folding, per-key prior, element-keyed chain) lives ONLY
+    # in make_prob_sampler — this wrapper just takes the argmax class maps
+    from ccdm_tpu.eval.lidc_uncertainty import make_prob_sampler
+
+    prob_sampler = make_prob_sampler(model, num_samples, num_steps, feature_fn)
 
     def run(params, images, key, indices=None, feature_params=None):
-        b, h, w, _ = images.shape
-        if indices is None:
-            indices = jnp.arange(b, dtype=jnp.int32)
-        cond = jnp.repeat(images, num_samples, axis=0)
-        fc = None
-        if feature_fn is not None:
-            feats = (feature_fn(feature_params, images)
-                     if feature_params is not None else feature_fn(images))
-            fc = jnp.repeat(feats, num_samples, axis=0)
-        # one key per (image, sample) folded on the global flat id: draws are
-        # independent of batch composition/host count (see make_prob_sampler)
-        gid = (indices[:, None] * num_samples
-               + jnp.arange(num_samples, dtype=jnp.int32)).reshape(-1)
-        k_prior, k_chain = jax.random.split(key)
-        prior_keys = jax.vmap(jax.random.fold_in, (None, 0))(k_prior, gid)
-        chain_keys = jax.vmap(jax.random.fold_in, (None, 0))(k_chain, gid)
-        xt = sample_prior_per_key(prior_keys, h, w, c)
-        out = ancestral_sampler(
-            model.diffusion, model.denoise_fn(params, cond, fc), xt, k_chain,
-            cfg, element_keys=chain_keys)
-        return jnp.argmax(out, axis=-1).reshape(b, num_samples, h, w).astype(jnp.int32)
+        probs = prob_sampler(params, images, key, indices,
+                             feature_params=feature_params)
+        return jnp.argmax(probs, axis=-1).astype(jnp.int32)  # [B,S,H,W]
 
     return jax.jit(run)
 

@@ -67,12 +67,16 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
     With `mesh`, the B*S generation batch is sharded over the 'data' axis and
     params follow the TP layout rule — multi-chip inference with the same
     call signature (collectives emitted by XLA).
+
+    `feature_fn` weights that CHANGE across calls (a trainable-encoder EMA)
+    must not be closed over — pass a 2-arg `feature_fn(feature_params,
+    images)` and supply `feature_params` at each call instead.
     """
     cfg = SamplerConfig(num_steps=num_steps or model.time_steps,
                         step_T_sample=model.step_T_sample)
     c = model.diffusion.num_classes
 
-    def run(params, images, key, indices=None):
+    def run(params, images, key, indices=None, feature_params=None):
         b, h, w, _ = images.shape
         if indices is None:
             indices = jnp.arange(b, dtype=jnp.int32)
@@ -84,7 +88,9 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
         cond = jnp.repeat(images, num_samples, axis=0)
         fc = None
         if feature_fn is not None:
-            fc = jnp.repeat(feature_fn(images), num_samples, axis=0)
+            feats = (feature_fn(feature_params, images)
+                     if feature_params is not None else feature_fn(images))
+            fc = jnp.repeat(feats, num_samples, axis=0)
         # one key per (image, sample), folded on the global flat id
         gid = (indices[:, None] * num_samples
                + jnp.arange(num_samples, dtype=jnp.int32)).reshape(-1)
@@ -165,8 +171,15 @@ def build_eval_feature_fn(params: Dict[str, Any], image_shape):
 
 def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = None,
                           model_params=None) -> Dict[str, Any]:
+    # vote strategy must be resolved BEFORE with_defaults injects the
+    # training default step_T_sample='majority' (a setdefault afterwards
+    # never fires): the reference eval builds with
+    # step_T_sample = params['evaluation_vote_strategy']
+    # (`evaluate_lidc_uncertainty.py` via `trainer.py:599`)
+    params = dict(params)
+    params.setdefault("step_T_sample",
+                      params.get("evaluation_vote_strategy", "confidence"))
     params = with_defaults(params)
-    params.setdefault("step_T_sample", params.get("evaluation_vote_strategy", "confidence"))
     module = resolve_dataset_module(params["dataset_file"])
     dataset = module.test_dataset(params.get("dataset_val_max_size"))
     num_classes = module.get_num_classes()

@@ -71,8 +71,9 @@ def main():
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
     state = {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
-    np.savez(args.out_npz, **convert(state))
-    print(f"wrote {args.out_npz} ({len(convert(state))} arrays)")
+    converted = convert(state)
+    np.savez(args.out_npz, **converted)
+    print(f"wrote {args.out_npz} ({len(converted)} arrays)")
 
 
 if __name__ == "__main__":

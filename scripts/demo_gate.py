@@ -46,7 +46,9 @@ def main() -> int:
     # silently loads, gating stale weights
     import shutil
 
-    run_dir = os.path.expandvars(train_params["output_path"])
+    from ccdm_tpu.config import expanduservars
+
+    run_dir = expanduservars(train_params["output_path"])
     if os.path.isdir(run_dir):
         shutil.rmtree(run_dir)
 
@@ -72,7 +74,7 @@ def main() -> int:
 
     summary = {"steps": steps, "gates": gates, "failures": failures,
                **{k: float(results[k]) for k in gates}}
-    out = os.path.join(train_params["output_path"], "demo_gate.json")
+    out = os.path.join(run_dir, "demo_gate.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
