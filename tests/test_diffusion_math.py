@@ -57,7 +57,7 @@ def oracle_theta_post_prob(betas, alphas, cumalphas, xt, p0, t, C):
     a = alphas[ti][:, None, None, None].copy()
     cab = cumalphas[ti - 1][:, None, None, None, None].copy()
     a[ti == 0] = 0.0
-    cab[ti - 0 == 0] = 1.0
+    cab[ti == 0] = 1.0
     x0_eye = np.eye(C)[None, :, :, None, None]  # [1,C1,C2,1,1]
     theta_xt_xtm1 = a * xt + (1 - a) / C  # [B,C,H,W]
     theta_xtm1_x0 = cab * x0_eye + (1 - cab) / C  # [B,C1,C2,1,1]

@@ -65,8 +65,13 @@ def test_pickle_converter(tmp_path):
     with h5py.File(out) as f:
         total = sum(len(f[s]["images"]) for s in ("train", "val", "test"))
         assert total == 10
-        # subject-level split: slices of the same subject stay together
         assert all(f[s]["labels"].shape[1:] == (4, 32, 32) for s in ("train", "val", "test"))
+        # subject-level split: slices of the same subject stay together —
+        # no series_uid may appear in more than one split (data leakage)
+        uid_sets = [{u.decode() if isinstance(u, bytes) else str(u)
+                     for u in f[s]["uids"][...]} for s in ("train", "val", "test")]
+        assert sum(len(u) for u in uid_sets) == len(set().union(*uid_sets)), \
+            "a subject's slices leaked across splits"
         # images shifted by -0.5 (lidc.py:79 parity)
         assert f["train"]["images"][0].min() >= -0.5 - 1e-6
 

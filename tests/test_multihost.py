@@ -27,6 +27,11 @@ def test_two_process_distributed_train(tmp_path, monkeypatch):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # each worker's output goes to a FILE: draining two lock-stepped
+    # workers' PIPEs sequentially can deadlock (worker 1 blocks writing a
+    # full pipe inside a collective worker 0 is waiting in)
+    logs = [tmp_path / f"worker{i}.log" for i in range(2)]
+    handles = [open(l, "w") for l in logs]
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER,
@@ -34,18 +39,19 @@ def test_two_process_distributed_train(tmp_path, monkeypatch):
              "--coordinator", f"localhost:{port}",
              "--output", str(tmp_path / "mh")],
             env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            stdout=handles[i], stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
-    outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
-            outs.append(out)
+            p.wait(timeout=600)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for h in handles:
+            h.close()
+    outs = [l.read_text() for l in logs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
     assert "MULTIHOST_OK" in outs[0]

@@ -111,7 +111,7 @@ def test_train_step_sharded_8dev(setup):
     rng = jax.device_put(jax.random.PRNGKey(2), replicated(mesh))
     new_state, metrics = jit_step(state, batch, rng)
     assert np.isfinite(float(metrics["loss"]))
-    assert int(new_state.step) == int(np.asarray(jax.device_get(new_state.step)))
+    assert int(new_state.step) == 1  # the sharded step increments the counter
 
     # Sharded and replicated results agree: run same batch unsharded.
     # (Sums across devices reorder adds; tolerance accounts for fp32.)

@@ -68,21 +68,25 @@ def test_trainable_encoder_updates_and_checkpoints(fake_cityscapes, tmp_path, mo
     assert set(run.state.params.keys()) == {"unet", "encoder"}
     enc_before = jax.tree.map(np.asarray, run.state.params["encoder"])
 
-    state = run.run(max_steps=2)
+    # one step first: with e0 == p0 at init, the tree-wide EMA acting as the
+    # encoder Polyak pair must produce EXACTLY e1 = a*p0 + (1-a)*p1
+    state1 = run.run(max_steps=1)
+    a = 0.9
+    for p0, p_new, e_new in zip(
+        jax.tree.leaves(enc_before),
+        jax.tree.leaves(jax.tree.map(np.asarray, state1.params["encoder"])),
+        jax.tree.leaves(jax.tree.map(np.asarray, state1.ema_params["encoder"])),
+    ):
+        np.testing.assert_allclose(e_new, a * p0 + (1 - a) * p_new,
+                                   rtol=2e-5, atol=1e-6)
+
+    state = run.run(max_steps=1)  # second step -> total step count 2
     enc_after = jax.tree.map(np.asarray, state.params["encoder"])
     moved = any(
-        not np.allclose(a, b)
-        for a, b in zip(jax.tree.leaves(enc_before), jax.tree.leaves(enc_after))
+        not np.allclose(a_, b_)
+        for a_, b_ in zip(jax.tree.leaves(enc_before), jax.tree.leaves(enc_after))
     )
     assert moved, "encoder params did not receive gradients"
-    # tree-wide EMA acts as the encoder Polyak pair
-    a = 0.9
-    for p_new, e_old, e_new in zip(
-        jax.tree.leaves(state.params["encoder"]),
-        jax.tree.leaves(run.state.ema_params["encoder"]),
-        jax.tree.leaves(state.ema_params["encoder"]),
-    ):
-        assert np.asarray(e_new).shape == np.asarray(p_new).shape
 
     # checkpoint schema carries the encoder keys
     run.checkpoints.wait()

@@ -35,7 +35,7 @@ SMOKE_PARAMS = {
 
 
 @pytest.fixture(scope="module")
-def tiny_synthetic(tmp_path_factory, monkeypatch_module=None):
+def tiny_synthetic():
     # shrink the synthetic dataset via a patched module-level default
     import ccdm_tpu.data.synthetic as syn
 
