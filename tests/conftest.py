@@ -33,3 +33,37 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture
+def cityscapes_tree_factory():
+    """Builder for a minimal Cityscapes leftImg8bit/gtFine folder tree.
+
+    One shared implementation for the three harnesses that need a fake
+    dataset (trainer smoke, eval harness, trainable-encoder run) — they
+    differ only in splits/size/classes/instanceIds, passed as arguments.
+    """
+    from PIL import Image
+
+    def build(root, splits, size=(64, 128), classes=(7, 8, 11, 26, 0),
+              instance_ids=False, seed=0):
+        rng = np.random.default_rng(seed)
+        h, w = size
+        for split, n in splits.items():
+            img_dir = root / "leftImg8bit" / split / "cityA"
+            gt_dir = root / "gtFine" / split / "cityA"
+            img_dir.mkdir(parents=True, exist_ok=True)
+            gt_dir.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+                ids = rng.choice(list(classes), size=(h, w)).astype(np.uint8)
+                Image.fromarray(img).save(img_dir / f"img{i}_leftImg8bit.png")
+                Image.fromarray(ids).save(gt_dir / f"img{i}_gtFine_labelIds.png")
+                if instance_ids:
+                    inst = ids.astype(np.int32)
+                    inst[ids == 26] = 26001  # one car instance per image
+                    Image.fromarray(inst.astype(np.uint16)).save(
+                        gt_dir / f"img{i}_gtFine_instanceIds.png")
+        return str(root)
+
+    return build

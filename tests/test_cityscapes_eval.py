@@ -48,22 +48,10 @@ def test_score_ignores_void_gt(tmp_path):
 
 
 @pytest.fixture
-def fake_cityscapes(tmp_path):
-    """Minimal leftImg8bit/gtFine tree: 2 val images, 64x128."""
-    rng = np.random.default_rng(0)
-    for i, city in enumerate(["cityA", "cityA"]):
-        img_dir = tmp_path / "leftImg8bit" / "val" / city
-        gt_dir = tmp_path / "gtFine" / "val" / city
-        img_dir.mkdir(parents=True, exist_ok=True)
-        gt_dir.mkdir(parents=True, exist_ok=True)
-        img = (rng.random((64, 128, 3)) * 255).astype(np.uint8)
-        ids = rng.choice([7, 8, 11, 26, 0], size=(64, 128)).astype(np.uint8)
-        Image.fromarray(img).save(img_dir / f"img{i}_leftImg8bit.png")
-        Image.fromarray(ids).save(gt_dir / f"img{i}_gtFine_labelIds.png")
-        inst = ids.astype(np.int32)
-        inst[ids == 26] = 26001  # one car instance per image
-        Image.fromarray(inst.astype(np.uint16)).save(gt_dir / f"img{i}_gtFine_instanceIds.png")
-    return str(tmp_path)
+def fake_cityscapes(tmp_path, cityscapes_tree_factory):
+    """Minimal leftImg8bit/gtFine tree: 2 val images, 64x128, instanceIds."""
+    return cityscapes_tree_factory(tmp_path, splits={"val": 2},
+                                   instance_ids=True)
 
 
 def test_run_inference_smoke(fake_cityscapes, tmp_path, monkeypatch):

@@ -11,23 +11,12 @@ import os
 import jax
 import numpy as np
 import pytest
-from PIL import Image
 
 
 @pytest.fixture
-def fake_cityscapes(tmp_path):
-    rng = np.random.default_rng(0)
-    for split, n in [("train", 4), ("val", 2)]:
-        img_dir = tmp_path / "leftImg8bit" / split / "cityA"
-        gt_dir = tmp_path / "gtFine" / split / "cityA"
-        img_dir.mkdir(parents=True)
-        gt_dir.mkdir(parents=True)
-        for i in range(n):
-            img = (rng.random((32, 64, 3)) * 255).astype(np.uint8)
-            ids = rng.choice([7, 8, 26, 0], size=(32, 64)).astype(np.uint8)
-            Image.fromarray(img).save(img_dir / f"img{i}_leftImg8bit.png")
-            Image.fromarray(ids).save(gt_dir / f"img{i}_gtFine_labelIds.png")
-    return str(tmp_path)
+def fake_cityscapes(tmp_path, cityscapes_tree_factory):
+    return cityscapes_tree_factory(tmp_path, splits={"train": 4, "val": 2},
+                                   size=(32, 64), classes=(7, 8, 26, 0))
 
 
 PARAMS = {
