@@ -22,6 +22,13 @@ smoke:
 	python ccdm_train.py configs/params_smoke.yml --max-steps 6
 	python ccdm_eval.py configs/params_smoke_eval.yml
 
+# same smoke forced onto the CPU backend (works when the TPU tunnel is
+# down; --cpu flips jax.config before backend init — env vars are too late
+# on images whose sitecustomize pre-imports jax)
+smoke-cpu:
+	python ccdm_train.py configs/params_smoke.yml --max-steps 6 --cpu
+	python ccdm_eval.py configs/params_smoke_eval.yml --cpu
+
 native:
 	$(MAKE) -C ccdm_tpu/native
 

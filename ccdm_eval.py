@@ -27,12 +27,19 @@ def set_seeds(seed: int = 0):
 def main():
     parser = argparse.ArgumentParser(description="Evaluate a CCDM on TPU")
     parser.add_argument("params_file", nargs="?", default="params_eval.yml")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (env vars are too late on "
+                             "images whose sitecustomize pre-imports jax)")
     args = parser.parse_args()
 
     os.environ.setdefault("NOW", time.strftime("%Y%m%d_%H%M%S"))
     os.environ.setdefault("SLURM_JOB_ID", "local")
     setup_logger()
     set_seeds(0)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     params = with_defaults(load_params(args.params_file))
     dataset_file = params["dataset_file"]

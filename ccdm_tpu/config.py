@@ -47,4 +47,12 @@ def with_defaults(params: Dict[str, Any]) -> Dict[str, Any]:
     merged.update(params or {})
     if merged.get("feature_cond_encoder") is None:
         merged["feature_cond_encoder"] = {"type": "none"}
+    # the final-step sampling mode follows the config's vote strategy unless
+    # step_T_sample was set explicitly — resolved HERE so the mapping is
+    # order-independent and idempotent for every caller (parity:
+    # `step_T_sample=params.get('evaluation_vote_strategy', None)` at model
+    # build, `ddpm/trainer.py:599`, with None -> majority at
+    # `diffusion_denoising.py:209`)
+    if "step_T_sample" not in (params or {}) and "evaluation_vote_strategy" in merged:
+        merged["step_T_sample"] = merged["evaluation_vote_strategy"]
     return merged

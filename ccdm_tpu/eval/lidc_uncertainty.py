@@ -171,14 +171,9 @@ def build_eval_feature_fn(params: Dict[str, Any], image_shape):
 
 def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = None,
                           model_params=None) -> Dict[str, Any]:
-    # vote strategy must be resolved BEFORE with_defaults injects the
-    # training default step_T_sample='majority' (a setdefault afterwards
-    # never fires): the reference eval builds with
-    # step_T_sample = params['evaluation_vote_strategy']
-    # (`evaluate_lidc_uncertainty.py` via `trainer.py:599`)
-    params = dict(params)
-    params.setdefault("step_T_sample",
-                      params.get("evaluation_vote_strategy", "confidence"))
+    # with_defaults maps evaluation_vote_strategy -> step_T_sample
+    # (reference: `trainer.py:599`), so "confidence" reaches the sampler's
+    # final step here
     params = with_defaults(params)
     module = resolve_dataset_module(params["dataset_file"])
     dataset = module.test_dataset(params.get("dataset_val_max_size"))

@@ -22,12 +22,19 @@ def main():
                         help="stop after N optimizer steps (smoke runs)")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for multi-host pods")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (env vars are too late on "
+                             "images whose sitecustomize pre-imports jax)")
     args = parser.parse_args()
 
     os.environ.setdefault("NOW", time.strftime("%Y%m%d_%H%M%S"))
     os.environ.setdefault("SLURM_JOB_ID", "local")
 
     setup_logger()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.multihost:
         import jax
 
