@@ -109,6 +109,8 @@ def main():
     num_samples = int(os.environ.get("BENCH_SAMPLES", 16))
     num_steps = int(os.environ.get("BENCH_STEPS", 250))
     reps = int(os.environ.get("BENCH_REPS", 3))
+    # experimental encoder-reuse sampling (see diffusion/sampling.py); 1=off
+    enc_reuse = int(os.environ.get("BENCH_ENCODER_REUSE", 1))
     h = w = 128
 
     params_cfg = dict(FLAGSHIP_PARAMS, step_T_sample="confidence")
@@ -133,7 +135,8 @@ def main():
 
     mesh = mesh_for_eval(num_images * num_samples)
     n_dev = len(jax.devices())
-    sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh)
+    sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh,
+                                encoder_reuse=enc_reuse)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((num_images, h, w, 1)).astype(np.float32))
@@ -145,7 +148,8 @@ def main():
         # the same calibration entry point the eval harnesses use; the
         # scales travel with the model, so rebuild the sampler from it
         model = quant.calibrate_static_scales(model, params, images[:2])
-        sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh)
+        sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh,
+                                    encoder_reuse=enc_reuse)
 
     # warmup (compile); force a real host readback — through the axon tunnel
     # block_until_ready alone can return optimistically (PERFNOTES.md)
@@ -183,6 +187,7 @@ def main():
             "images": num_images, "samples_per_image": num_samples,
             "steps": num_steps, "resolution": h, "reps": reps,
             "quantized_inference": {"static": "int8-static", "1": "int8-dynamic"}.get(int8_mode, "off"),
+            "encoder_reuse": enc_reuse,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]), "n_devices": n_dev,
             "chips_used": chips_used,

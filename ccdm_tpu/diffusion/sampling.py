@@ -39,10 +39,18 @@ class SamplerConfig(NamedTuple):
     `step_T_sample`: how to resolve the final (t==1) step — "majority" takes
     the argmax one-hot, "confidence" returns the posterior probabilities
     themselves (parity: `diffusion_denoising.py:209-212`).
+
+    `encoder_reuse`: EXPERIMENTAL (beyond the reference, after "Faster
+    Diffusion", arXiv 2312.09608): run the UNet ENCODER only on every R-th
+    step and replay its cached skip activations in between (the decoder
+    always runs with the current step's time embedding and posterior). 1 =
+    off (exact reference semantics). Requires a `denoise_pair` from
+    `DenoisingModel.denoise_fns_cached`.
     """
 
     num_steps: int  # K: number of reverse steps actually executed
     step_T_sample: str = "majority"  # "majority" | "confidence"
+    encoder_reuse: int = 1  # R: full encoder every R-th step
 
 
 def subsampled_t_values(time_steps: int, num_steps: int) -> np.ndarray:
@@ -68,6 +76,7 @@ def ancestral_sampler(
     config: SamplerConfig,
     *,
     element_keys: jnp.ndarray = None,
+    denoise_pair=None,
 ) -> jnp.ndarray:
     """Run the reverse process from `xt ~ q(x_T)` down to a segmentation map.
 
@@ -88,15 +97,11 @@ def ancestral_sampler(
     t_grid = jnp.asarray(subsampled_t_values(d.time_steps, config.num_steps))
     batch = xt.shape[0]
 
-    def step(carry, inputs):
-        x, = carry
-        t_scalar, step_idx = inputs
+    def resolve(x, p0, t_scalar, step_idx):
+        """Posterior + draw/final resolution shared by both sampler forms."""
         t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
-
-        p0 = denoise_fn(x, t)
         probs = theta_post_prob(d, x, p0.astype(jnp.float32), t)
         probs = jnp.clip(probs, min=1e-12)
-
         if element_keys is not None:
             step_keys = jax.vmap(jax.random.fold_in, (0, None))(element_keys, step_idx)
             drawn = jax.vmap(sample_onehot)(step_keys, probs)
@@ -106,10 +111,44 @@ def ancestral_sampler(
             final = probs
         else:  # "majority" (also the reference's None default, `:209`)
             final = max_prob_onehot(probs)
-        x_next = jnp.where(t_scalar > 1, drawn, final)
-        return (x_next,), None
+        return jnp.where(t_scalar > 1, drawn, final)
 
     steps = jnp.arange(config.num_steps, dtype=jnp.int32)
+
+    if config.encoder_reuse > 1:
+        if denoise_pair is None:
+            raise ValueError("encoder_reuse > 1 needs denoise_pair "
+                             "(DenoisingModel.denoise_fns_cached)")
+        full_fn, reuse_fn = denoise_pair
+        r = int(config.encoder_reuse)
+
+        # shape-only placeholder for the skips carry; step 0 always takes
+        # the full branch, so the zeros never influence any result
+        skips0 = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(lambda v: full_fn(v, jnp.full((batch,), 1, jnp.int32))[1], xt))
+
+        def step_reuse(carry, inputs):
+            x, skips = carry
+            t_scalar, step_idx = inputs
+            t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+            p0, skips = jax.lax.cond(
+                step_idx % r == 0,
+                lambda op: full_fn(*op[:2]),
+                lambda op: (reuse_fn(*op), op[2]),
+                (x, t, skips))
+            return (resolve(x, p0, t_scalar, step_idx), skips), None
+
+        (x_final, _), _ = jax.lax.scan(step_reuse, (xt, skips0), (t_grid, steps))
+        return x_final
+
+    def step(carry, inputs):
+        x, = carry
+        t_scalar, step_idx = inputs
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        p0 = denoise_fn(x, t)
+        return (resolve(x, p0, t_scalar, step_idx),), None
+
     (x_final,), _ = jax.lax.scan(step, (xt,), (t_grid, steps))
     return x_final
 

@@ -52,7 +52,7 @@ LOGGER = logging.getLogger(__name__)
 
 def make_prob_sampler(model: DenoisingModel, num_samples: int,
                       num_steps: Optional[int] = None, feature_fn=None,
-                      mesh=None):
+                      mesh=None, encoder_reuse: int = 1):
     """Jitted `(params, images [B,H,W,Ci], key, indices=None) -> probs [B,S,H,W,C]`.
 
     Uses the model's `step_T_sample` mode for the final step; "confidence"
@@ -73,7 +73,8 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
     images)` and supply `feature_params` at each call instead.
     """
     cfg = SamplerConfig(num_steps=num_steps or model.time_steps,
-                        step_T_sample=model.step_T_sample)
+                        step_T_sample=model.step_T_sample,
+                        encoder_reuse=int(encoder_reuse))
     c = model.diffusion.num_classes
 
     def run(params, images, key, indices=None, feature_params=None):
@@ -106,9 +107,11 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
             xt = jax.lax.with_sharding_constraint(xt, sh)
             if fc is not None:
                 fc = jax.lax.with_sharding_constraint(fc, sh)
+        pair = (model.denoise_fns_cached(params, cond, fc)
+                if cfg.encoder_reuse > 1 else None)
         out = ancestral_sampler(
             model.diffusion, model.denoise_fn(params, cond, fc), xt, k_chain,
-            cfg, element_keys=chain_keys)
+            cfg, element_keys=chain_keys, denoise_pair=pair)
         return out.reshape(b, num_samples, h, w, c)
 
     return jax.jit(run)
@@ -217,7 +220,8 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
         LOGGER.info("sharding the %dx%d generation batch over %d chips",
                     batch_size, max_samples, len(jax.local_devices()))
     sampler = make_prob_sampler(model, max_samples, num_steps, feature_fn,
-                                mesh=mesh)
+                                mesh=mesh,
+                                encoder_reuse=int(params.get("encoder_reuse", 1)))
     key = jax.random.PRNGKey(int(params.get("seed", 0)))
 
     geds = np.zeros(len(evaluations))

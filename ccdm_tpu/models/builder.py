@@ -87,6 +87,24 @@ class DenoisingModel:
             return self.apply(params, xt, condition, t, feature_condition)["diffusion_out"]
         return fn
 
+    def denoise_fns_cached(self, params, condition, feature_condition=None):
+        """Closure pair for encoder-reuse sampling (sampling.py):
+
+        `full(xt, t) -> (p0, skips)` runs the whole UNet and returns the
+        encoder activations; `reuse(xt, t, skips) -> p0` replays them and
+        runs only middle+decoder (with the CURRENT step's time embedding).
+        """
+        def full(xt, t):
+            ret = self.unet.apply(self._variables(params), xt, condition, t,
+                                  feature_condition, return_skips=True)
+            return ret["diffusion_out"], ret["skips"]
+
+        def reuse(xt, t, skips):
+            return self.unet.apply(self._variables(params), xt, condition, t,
+                                   cached_skips=skips)["diffusion_out"]
+
+        return full, reuse
+
     def sample(self, params, xt, condition, key, num_steps: Optional[int] = None,
                feature_condition=None) -> jnp.ndarray:
         cfg = SamplerConfig(num_steps=num_steps or self.time_steps,

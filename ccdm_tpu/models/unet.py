@@ -91,6 +91,8 @@ class UNetModel(nn.Module):
         feature_condition: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
+        cached_skips: Optional[tuple] = None,
+        return_skips: bool = False,
     ) -> dict:
         mc = self.model_channels
         attn_cls = nn.remat(AttentionBlock, static_argnums=()) if self.remat_attention else AttentionBlock
@@ -123,35 +125,44 @@ class UNetModel(nn.Module):
         emb = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32, name="time_mlp1")(emb)
         emb = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32, name="time_mlp2")(nn.silu(emb))
 
-        h = jnp.concatenate([x, condition], axis=-1).astype(self.dtype)
-
         # ---- encoder -------------------------------------------------------
-        ch = int(self.channel_mult[0] * mc)
-        h = conv3x3(ch, self.dtype, name="in_conv", quant=self.quantize_convs)(h)
-        skips = [h]
+        # `cached_skips` (experimental encoder-reuse sampling, see
+        # diffusion/sampling.py) replays a previous step's encoder
+        # activations: the encoder blocks are not executed at all
         ds = 1
-        block_idx = 1  # parity with input_blocks_cnt (unet.py:522)
-        for level, mult in enumerate(self.channel_mult):
-            for _ in range(self.num_res_blocks):
-                if (
-                    feature_condition is not None
-                    and block_idx == self.feature_cond_block_idx
-                    and ds == self.feature_cond_stride
-                ):
-                    h = jnp.concatenate([h, feature_condition.astype(self.dtype)], axis=-1)
-                ch = int(mult * mc)
-                h = res(h, emb, ch, name=f"down_{block_idx}_res")
-                if ds in self.attention_resolutions:
-                    h = attn(h, name=f"down_{block_idx}_attn")
-                skips.append(h)
-                block_idx += 1
-            if level != len(self.channel_mult) - 1:
-                h = Downsample(ch, use_conv=True, dtype=self.dtype,
-                               quant=self.quantize_convs,
-                               name=f"down_{block_idx}_downsample")(h)
-                skips.append(h)
-                block_idx += 1
-                ds *= 2
+        if cached_skips is not None:
+            skips = list(cached_skips)
+            h = skips[-1]
+            ds = 2 ** (len(self.channel_mult) - 1)
+            ch = int(self.channel_mult[-1] * mc)
+        else:
+            h = jnp.concatenate([x, condition], axis=-1).astype(self.dtype)
+            ch = int(self.channel_mult[0] * mc)
+            h = conv3x3(ch, self.dtype, name="in_conv", quant=self.quantize_convs)(h)
+            skips = [h]
+            block_idx = 1  # parity with input_blocks_cnt (unet.py:522)
+            for level, mult in enumerate(self.channel_mult):
+                for _ in range(self.num_res_blocks):
+                    if (
+                        feature_condition is not None
+                        and block_idx == self.feature_cond_block_idx
+                        and ds == self.feature_cond_stride
+                    ):
+                        h = jnp.concatenate([h, feature_condition.astype(self.dtype)], axis=-1)
+                    ch = int(mult * mc)
+                    h = res(h, emb, ch, name=f"down_{block_idx}_res")
+                    if ds in self.attention_resolutions:
+                        h = attn(h, name=f"down_{block_idx}_attn")
+                    skips.append(h)
+                    block_idx += 1
+                if level != len(self.channel_mult) - 1:
+                    h = Downsample(ch, use_conv=True, dtype=self.dtype,
+                                   quant=self.quantize_convs,
+                                   name=f"down_{block_idx}_downsample")(h)
+                    skips.append(h)
+                    block_idx += 1
+                    ds *= 2
+        encoder_skips = tuple(skips) if return_skips else None
 
         # ---- middle --------------------------------------------------------
         h = res(h, emb, ch, name="mid_res1")
@@ -182,6 +193,8 @@ class UNetModel(nn.Module):
         if self.softmax_output:
             out = nn.softmax(out, axis=-1)
         ret = {"diffusion_out": out, "logits": None}
+        if return_skips:
+            ret["skips"] = encoder_skips
         if self.ce_head:
             # the CE head has its OWN normalization, independently trained
             # (parity: `out_ce = Sequential(normalization, SiLU, zero conv)`,
