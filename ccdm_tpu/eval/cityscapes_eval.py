@@ -107,8 +107,9 @@ class CityscapesEvaluator:
             LOGGER.info("sharding the %dx%d vote batch over %d chips",
                         batch_size, self.num_evaluations,
                         len(jax.local_devices()))
-        self.sampler = make_prob_sampler(self.model, self.num_evaluations,
-                                         feature_fn=feature_fn, mesh=mesh)
+        self.sampler = make_prob_sampler(
+            self.model, self.num_evaluations, feature_fn=feature_fn, mesh=mesh,
+            encoder_reuse=int(self.params.get("encoder_reuse", 1)))
 
     def predict_batch(self, images: np.ndarray, key, indices) -> jnp.ndarray:
         """[B,H,W,3] -> averaged probability maps [B,H,W,C] (confidence vote).
