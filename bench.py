@@ -26,6 +26,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _await_backend():
+    """Touch the backend with a watchdog: fail fast with a diagnostic line
+    instead of hanging forever when the TPU tunnel is unreachable (the axon
+    claim retries in a sleep loop indefinitely). BENCH_INIT_TIMEOUT seconds,
+    default 240."""
+    import threading
+
+    import jax
+
+    seconds = int(os.environ.get("BENCH_INIT_TIMEOUT", 240))
+    done = threading.Event()
+
+    def trip():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "lidc_16sample_inference_throughput",
+                "value": None, "unit": "samples/sec/chip", "vs_baseline": None,
+                "error": f"backend init did not complete in {seconds}s "
+                         "(TPU tunnel unreachable?) — set BENCH_INIT_TIMEOUT "
+                         "to wait longer",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=trip, daemon=True).start()
+    jax.devices()  # blocks until the backend (and the chip claim) is up
+    done.set()
+
+
 def main_train():
     """BENCH_MODE=train: flagship train-step throughput (img/s).
 
@@ -37,6 +65,7 @@ def main_train():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _await_backend()
     import jax.numpy as jnp
     import numpy as np
 
@@ -98,6 +127,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _await_backend()
     import jax.numpy as jnp
     import numpy as np
 
