@@ -111,3 +111,15 @@ def test_compute_ged_max_batches_topology_invariant(tiny_synthetic):
     for m, (a, b) in enumerate(zip(*parts)):
         combined = (a * counts[0] + b * counts[1]) / sum(counts)
         np.testing.assert_allclose(combined, full[m], rtol=1e-6)
+
+
+def test_eval_lidc_uncertainty_encoder_reuse(tiny_synthetic):
+    """`encoder_reuse: 2` plumbs through the harness end-to-end and returns
+    valid metrics (the mechanism itself is exact-tested in
+    test_encoder_reuse.py; default 1 = off)."""
+    from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
+
+    res = eval_lidc_uncertainty(dict(EVAL_PARAMS, encoder_reuse=2))
+    assert res["count"] == 4
+    assert 0.0 <= res["GED_2"] <= 2.0
+    assert all(0.0 <= d <= 1.0 for d in res["Dice"])

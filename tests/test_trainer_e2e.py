@@ -173,3 +173,25 @@ def test_profile_steps_writes_trace(tmp_path, tiny_synthetic):
     assert prof_dir.is_dir()
     # the trace writer produces at least one plugins/profile artifact
     assert any(prof_dir.rglob("*"))
+
+
+def test_validation_sampler_is_cached(tmp_path, tiny_synthetic):
+    """Validation events reuse ONE jitted sampler per (num_samples, num_steps)
+    — rebuilding each event re-traces and re-compiles the whole K-step scan
+    (minutes on real TPU for the flagship model)."""
+    from unittest import mock
+
+    from ccdm_tpu.train import trainer as trainer_mod
+    from ccdm_tpu.train.trainer import TrainingRun
+
+    params = dict(SMOKE_PARAMS, output_path=str(tmp_path / "cache_run"),
+                  save_freq=1000, validation_freq=1000)
+    run = TrainingRun(params)
+    with mock.patch.object(trainer_mod, "make_batched_sampler",
+                           wraps=trainer_mod.make_batched_sampler) as spy:
+        run.validate()
+        run.validate()
+        run.validate_miou()
+        run.validate_miou()
+    # one build for the GED sampler (samples=4), one for mIoU (samples=1)
+    assert spy.call_count == 2, spy.call_count
