@@ -1,65 +1,11 @@
 #!/usr/bin/env python
-"""Evaluation CLI: `python ccdm_eval.py params_eval.yml`.
+"""Evaluation CLI shim: `python ccdm_eval.py params_eval.yml` (parity: `ddpm_eval.py`).
 
-Parity: `ddpm_eval.py` — seeds, then dispatches on `dataset_file`:
-`lidc_sampling_speed` -> step-sweep benchmark, `lidc` -> uncertainty
-evaluation, `cityscapes` -> full-image inference + official scoring
-(`ddpm_eval.py:39-47`).
+The implementation lives in `ccdm_tpu.cli.eval` so the installed package
+exposes the same entry point as `ccdm-eval` (see pyproject.toml).
 """
 
-import argparse
-import os
-import random
-import time
-
-import numpy as np
-
-from ccdm_tpu.config import load_params, with_defaults
-from ccdm_tpu.utils.logging import setup_logger
-
-
-def set_seeds(seed: int = 0):
-    """Parity: `ddpm_eval.py:15-25` (python/numpy; JAX keys are explicit)."""
-    random.seed(seed)
-    np.random.seed(seed)
-
-
-def main():
-    parser = argparse.ArgumentParser(description="Evaluate a CCDM on TPU")
-    parser.add_argument("params_file", nargs="?", default="params_eval.yml")
-    parser.add_argument("--cpu", action="store_true",
-                        help="force the CPU backend (env vars are too late on "
-                             "images whose sitecustomize pre-imports jax)")
-    args = parser.parse_args()
-
-    os.environ.setdefault("NOW", time.strftime("%Y%m%d_%H%M%S"))
-    os.environ.setdefault("SLURM_JOB_ID", "local")
-    setup_logger()
-    set_seeds(0)
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
-    params = with_defaults(load_params(args.params_file))
-    dataset_file = params["dataset_file"]
-
-    if "_sampling_speed" in dataset_file:
-        from ccdm_tpu.eval.lidc_sampling_speed import eval_lidc_sampling_speed
-
-        params = dict(params, dataset_file=dataset_file.replace("_sampling_speed", ""))
-        eval_lidc_sampling_speed(params)
-    elif "lidc" in dataset_file or "synthetic" in dataset_file:
-        from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
-
-        eval_lidc_uncertainty(params)
-    elif "cityscapes" in dataset_file:
-        from ccdm_tpu.eval.cityscapes_eval import run_inference
-
-        run_inference(params)
-    else:
-        raise ValueError(f"no evaluator for dataset_file {dataset_file!r}")
-
+from ccdm_tpu.cli.eval import main
 
 if __name__ == "__main__":
     main()
