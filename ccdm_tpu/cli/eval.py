@@ -42,6 +42,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     params = with_defaults(load_params(args.params_file))
+    from ccdm_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(params)
     dataset_file = params["dataset_file"]
 
     if "_sampling_speed" in dataset_file:

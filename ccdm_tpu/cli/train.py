@@ -41,6 +41,9 @@ def main():
         jax.distributed.initialize()
 
     params = with_defaults(load_params(args.params_file))
+    from ccdm_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(params)
     from ccdm_tpu.train.trainer import run_train
 
     run_train(params, max_steps=args.max_steps)

@@ -1,0 +1,53 @@
+"""Persistent compilation cache wiring (ccdm_tpu/utils/compile_cache.py).
+
+No reference analog (eager PyTorch); this is XLA-specific startup-latency
+infrastructure for the CLIs.
+"""
+
+import jax
+
+from ccdm_tpu.utils.compile_cache import enable_compilation_cache
+
+
+def test_enable_sets_cache_dir(tmp_path, monkeypatch):
+    monkeypatch.delenv("CCDM_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("CCDM_COMPILE_CACHE_DIR", str(tmp_path / "xla"))
+    out = enable_compilation_cache({})
+    assert out == str(tmp_path / "xla")
+    assert (tmp_path / "xla").is_dir()
+    assert jax.config.jax_compilation_cache_dir == out
+
+
+def test_params_override_beats_default(tmp_path, monkeypatch):
+    monkeypatch.delenv("CCDM_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("CCDM_COMPILE_CACHE_DIR", raising=False)
+    out = enable_compilation_cache({"compilation_cache_dir": str(tmp_path / "p")})
+    assert out == str(tmp_path / "p")
+
+
+def test_disable_paths(monkeypatch, tmp_path):
+    monkeypatch.setenv("CCDM_COMPILE_CACHE", "0")
+    assert enable_compilation_cache({}) is None
+    monkeypatch.delenv("CCDM_COMPILE_CACHE")
+    assert enable_compilation_cache({"compilation_cache": False}) is None
+
+
+def test_cache_populates_on_compile(tmp_path, monkeypatch):
+    monkeypatch.delenv("CCDM_COMPILE_CACHE", raising=False)
+    monkeypatch.setenv("CCDM_COMPILE_CACHE_DIR", str(tmp_path / "xla"))
+    cache_dir = enable_compilation_cache({})
+    # A trivially cheap jit stays below the 1s persistence threshold, so
+    # lower it for the test to observe a write.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        import jax.numpy as jnp
+
+        jax.jit(lambda x: jnp.tanh(x) * 3 + 1)(jnp.arange(7.0)).block_until_ready()
+        import os
+
+        entries = []
+        for root, _, files in os.walk(cache_dir):
+            entries += files
+        assert entries, "compilation cache directory stayed empty after a jit"
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
