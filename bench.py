@@ -26,6 +26,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _resolve_backend():
+    """Probe the default backend in a disposable subprocess; fall back to CPU.
+
+    The axon TPU is reached through a tunnel whose chip claim can hang for
+    hours (the relay retries in a sleep loop), and a hung `jax.devices()`
+    cannot be recovered in-process. So: probe in a subprocess with a timeout
+    FIRST, and force the CPU backend when the probe fails. An honest,
+    clearly-flagged CPU measurement beats recording null — the baseline in
+    BASELINE_MEASURED.json is torch-cpu on this same host, so the comparison
+    stays apples-to-apples.
+
+    Returns "cpu-fallback" when it rewired to CPU, else None (default
+    backend). BENCH_BACKEND=cpu forces CPU without probing; BENCH_BACKEND=
+    default skips the probe and waits for the real backend.
+    """
+    import subprocess
+    import sys
+
+    import jax
+
+    forced = os.environ.get("BENCH_BACKEND")
+    if forced == "default":
+        return None
+    if forced != "cpu":
+        timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", 120))
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout, capture_output=True)
+            if probe.returncode == 0:
+                return None
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"WARNING: backend probe failed within {timeout}s "
+              "(TPU tunnel unreachable?) — falling back to the CPU backend",
+              file=sys.stderr, flush=True)
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu-fallback"
+
+
 def _await_backend():
     """Touch the backend with a watchdog: fail fast with a diagnostic line
     instead of hanging forever when the TPU tunnel is unreachable (the axon
@@ -65,6 +105,7 @@ def main_train():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    fallback = _resolve_backend()
     _await_backend()
     import jax.numpy as jnp
     import numpy as np
@@ -75,9 +116,9 @@ def main_train():
     from ccdm_tpu.train.state import create_train_state
     from ccdm_tpu.train.step import make_multi_step, make_train_step
 
-    batch = int(os.environ.get("BENCH_BATCH", 16))
-    k_steps = int(os.environ.get("BENCH_K", 16))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    batch = int(os.environ.get("BENCH_BATCH", 4 if fallback else 16))
+    k_steps = int(os.environ.get("BENCH_K", 2 if fallback else 16))
+    reps = int(os.environ.get("BENCH_REPS", 1 if fallback else 3))
     h = w = 128
 
     model = build_model(FLAGSHIP_PARAMS, num_classes=2, image_channels=1,
@@ -116,7 +157,8 @@ def main_train():
         "config": {
             "batch": batch, "steps_per_launch": k_steps, "reps": reps,
             "ms_per_step": round(1e3 * dt / (reps * k_steps), 2),
-            "backend": jax.default_backend(),
+            "backend": ("cpu-fallback (TPU tunnel unreachable)"
+                        if fallback else jax.default_backend()),
             "device": str(jax.devices()[0]),
         },
     }))
@@ -127,6 +169,7 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    fallback = _resolve_backend()
     _await_backend()
     import jax.numpy as jnp
     import numpy as np
@@ -135,10 +178,15 @@ def main():
     from ccdm_tpu.eval.lidc_uncertainty import make_prob_sampler
     from ccdm_tpu.models.builder import build_model
 
-    num_images = int(os.environ.get("BENCH_IMAGES", 8))
+    num_images = int(os.environ.get("BENCH_IMAGES", 1 if fallback else 8))
     num_samples = int(os.environ.get("BENCH_SAMPLES", 16))
     num_steps = int(os.environ.get("BENCH_STEPS", 250))
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    reps = int(os.environ.get("BENCH_REPS", 1 if fallback else 3))
+    # Under the CPU fallback, run a shortened scan and extrapolate per-step
+    # cost to the full protocol — exactly how BASELINE_MEASURED.json's
+    # torch-cpu reference number was produced (3 measured steps of 250).
+    measured_steps = int(os.environ.get("BENCH_MEASURED_STEPS",
+                                        10 if fallback else num_steps))
     # experimental encoder-reuse sampling (see diffusion/sampling.py); 1=off
     enc_reuse = int(os.environ.get("BENCH_ENCODER_REUSE", 1))
     h = w = 128
@@ -148,7 +196,9 @@ def main():
     # +7.8% over float on the flagship with ZERO quality drift (PERFNOTES.md
     # int8 A/B: the ancestral chain resamples away conv quantization noise).
     # BENCH_INT8=0 for the float parity path; =1 for dynamic scales (-12%).
-    int8_mode = os.environ.get("BENCH_INT8", "static")
+    # The CPU fallback measures the float path: the int8 win is a TPU MXU
+    # property and calibration would double the (expensive) host compile.
+    int8_mode = os.environ.get("BENCH_INT8", "0" if fallback else "static")
     if int8_mode in ("1", "static"):
         params_cfg["quantized_inference"] = True
     if os.environ.get("BENCH_STATIC_SCALE"):
@@ -165,7 +215,7 @@ def main():
 
     mesh = mesh_for_eval(num_images * num_samples)
     n_dev = len(jax.devices())
-    sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh,
+    sampler = make_prob_sampler(model, num_samples, measured_steps, mesh=mesh,
                                 encoder_reuse=enc_reuse)
 
     rng = np.random.default_rng(0)
@@ -178,7 +228,7 @@ def main():
         # the same calibration entry point the eval harnesses use; the
         # scales travel with the model, so rebuild the sampler from it
         model = quant.calibrate_static_scales(model, params, images[:2])
-        sampler = make_prob_sampler(model, num_samples, num_steps, mesh=mesh,
+        sampler = make_prob_sampler(model, num_samples, measured_steps, mesh=mesh,
                                     encoder_reuse=enc_reuse)
 
     # warmup (compile); force a real host readback — through the axon tunnel
@@ -194,9 +244,14 @@ def main():
 
     total_samples = num_images * num_samples * reps
     # per-chip headline: divide aggregate throughput by the chips actually
-    # used (the mesh shards the generation batch when >1 chip is visible)
+    # used (the mesh shards the generation batch when >1 chip is visible);
+    # when only measured_steps of the num_steps protocol ran (CPU fallback),
+    # scale the wall time to the full schedule — per-step cost is constant
+    # across the scan, so this is the same extrapolation the torch-cpu
+    # baseline used
     chips_used = mesh.devices.size if mesh is not None else 1
-    samples_per_sec = total_samples / dt / chips_used
+    dt_full = dt * (num_steps / measured_steps)
+    samples_per_sec = total_samples / dt_full / chips_used
 
     vs_baseline = None
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -218,7 +273,11 @@ def main():
             "steps": num_steps, "resolution": h, "reps": reps,
             "quantized_inference": {"static": "int8-static", "1": "int8-dynamic"}.get(int8_mode, "off"),
             "encoder_reuse": enc_reuse,
-            "backend": jax.default_backend(),
+            "backend": ("cpu-fallback (TPU tunnel unreachable; "
+                        "baseline is torch-cpu on this host)"
+                        if fallback else jax.default_backend()),
+            "measured_steps": measured_steps,
+            "extrapolated": measured_steps != num_steps,
             "device": str(jax.devices()[0]), "n_devices": n_dev,
             "chips_used": chips_used,
         },
