@@ -1,6 +1,6 @@
 # Developer entry points for ccdm_tpu
 
-.PHONY: test bench bench-train smoke demo native clean
+.PHONY: test bench bench-train bench-cityscapes smoke demo native clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -10,6 +10,12 @@ bench:
 
 bench-train:
 	BENCH_MODE=train python bench.py
+
+# the hard config: 256x512 20-class Cityscapes with DINO ViT-B/8
+# conditioning through the full sampler (vs torch reference at the same
+# geometry — scripts/measure_reference_baseline.py BASE_CONFIG=cityscapes)
+bench-cityscapes:
+	BENCH_MODE=cityscapes python bench.py
 
 # quality-regression gate: 5000-step synthetic-data demo with pinned
 # GED/HM-IoU/Dice thresholds (TRAINING_DEMO.md protocol); DEMO_STEPS=800

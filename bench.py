@@ -164,6 +164,150 @@ def main_train():
     }))
 
 
+CITYSCAPES_BENCH_PARAMS = {
+    # BASELINE.json config #4 geometry: 256x512, 20 classes, DINO ViT-B/8
+    # feature conditioning concatenated at UNet stride 8 (reference
+    # `params.yml:46-55` with the vitb8 settings its comments document,
+    # channel_mult by min-side 256 -> (1,1,2,2,4,4), `unet_openai/__init__.py:31-32`)
+    "beta_schedule": "cosine",
+    "beta_schedule_params": {"s": 0.008},
+    "time_steps": 250,
+    "compute_dtype": "bfloat16",
+    "step_T_sample": "confidence",
+    "unet_openai": {
+        "base_channels": 32,
+        "image_size": 256,
+        "channel_mult": None,
+        "attention_resolutions": [32, 16, 8],
+        "num_heads": 1,
+        "num_head_channels": 32,
+        "softmax_output": True,
+    },
+    "feature_cond_encoder": {
+        "type": "dino", "model": "dino_vitb8", "channels": 768,
+        "conditioning": "concat_pixels_concat_features", "output_stride": 8,
+        "scale": "single", "train": False, "source_layer": 11,
+        "target_layer": 10, "weights": None,
+    },
+}
+
+
+def main_cityscapes():
+    """BENCH_MODE=cityscapes: the hard config — 256x512, 20-class Cityscapes
+    with DINO ViT-B/8 feature conditioning, through the full 250-step
+    sampler. A "sample" is one 256x512 20-class segmentation; the DINO
+    encoder runs once per batch inside the timed call (its cost is real but
+    amortised over the 250 steps, as in the reference's `eval_cdm.py`).
+
+    vs_baseline: the torch reference at the same geometry on this host
+    (scripts/measure_reference_baseline.py BASE_CONFIG=cityscapes ->
+    BASELINE_MEASURED.json "cityscapes" entry).
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    fallback = _resolve_backend()
+    _await_backend()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ccdm_tpu.eval.lidc_uncertainty import build_eval_feature_fn, make_prob_sampler
+    from ccdm_tpu.models.builder import build_model
+    from ccdm_tpu.parallel.mesh import mesh_for_eval
+
+    num_images = int(os.environ.get("BENCH_IMAGES", 1 if fallback else 2))
+    num_samples = int(os.environ.get("BENCH_SAMPLES", 2 if fallback else 4))
+    num_steps = int(os.environ.get("BENCH_STEPS", 250))
+    reps = int(os.environ.get("BENCH_REPS", 1 if fallback else 3))
+    measured_steps = int(os.environ.get("BENCH_MEASURED_STEPS",
+                                        2 if fallback else num_steps))
+    int8_mode = os.environ.get("BENCH_INT8", "0" if fallback else "static")
+    h, w, c = 256, 512, 20
+
+    cfg = dict(CITYSCAPES_BENCH_PARAMS)
+    if int8_mode in ("1", "static"):
+        cfg["quantized_inference"] = True
+    model = build_model(cfg, num_classes=c, image_channels=3, image_size=h)
+    feature_fn, feature_shape = build_eval_feature_fn(cfg, (h, w, 3))
+    params = model.init(jax.random.PRNGKey(0), (h, w, 3),
+                        feature_shape=feature_shape)
+
+    mesh = mesh_for_eval(num_images * num_samples)
+    chips_used = mesh.devices.size if mesh is not None else 1
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((num_images, h, w, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    if int8_mode == "static":
+        from ccdm_tpu.ops import quant
+
+        model = quant.calibrate_static_scales(model, params, images[:1],
+                                              feature_fn=feature_fn)
+
+    enc_time = 0.0
+    if measured_steps != num_steps:
+        # The encoder is a FIXED per-call cost (it runs once, not per step);
+        # extrapolating a short scan would multiply it by num_steps /
+        # measured_steps. Time it separately, run the scan on precomputed
+        # features, and recombine analytically below.
+        feat_jit = jax.jit(feature_fn)
+        feats = feat_jit(images)
+        feats.block_until_ready()
+        t0 = time.perf_counter()
+        feat_jit(images).block_until_ready()
+        enc_time = time.perf_counter() - t0
+        sampler_feature_fn = lambda img: feats  # noqa: E731
+    else:
+        sampler_feature_fn = feature_fn
+    sampler = make_prob_sampler(model, num_samples, measured_steps, mesh=mesh,
+                                feature_fn=sampler_feature_fn)
+
+    float(jnp.sum(sampler(params, images, key)))  # warmup/compile + readback
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(reps):
+        acc += float(jnp.sum(sampler(params, images, jax.random.fold_in(key, i))))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+
+    # scale the scan to the full schedule, then add back one encoder pass
+    # per rep (it would have run once per full-protocol call)
+    dt_full = dt * (num_steps / measured_steps) + reps * enc_time
+    samples_per_sec = num_images * num_samples * reps / dt_full / chips_used
+
+    vs_baseline = None
+    baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_file):
+        with open(baseline_file) as f:
+            ref = json.load(f).get("cityscapes", {}).get("reference_samples_per_sec")
+        if ref:
+            vs_baseline = samples_per_sec / ref
+
+    print(json.dumps({
+        "metric": "cityscapes_dino_256x512_inference_throughput",
+        "value": round(samples_per_sec, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "config": {
+            "images": num_images, "samples_per_image": num_samples,
+            "steps": num_steps, "resolution": [h, w], "classes": c,
+            "reps": reps, "feature_cond": "dino_vitb8@stride8",
+            "quantized_inference": {"static": "int8-static", "1": "int8-dynamic"}.get(int8_mode, "off"),
+            "backend": ("cpu-fallback (TPU tunnel unreachable; "
+                        "baseline is torch-cpu on this host)"
+                        if fallback else jax.default_backend()),
+            "measured_steps": measured_steps,
+            "extrapolated": measured_steps != num_steps,
+            "encoder_seconds_per_call": round(enc_time, 4),
+            "device": str(jax.devices()[0]), "chips_used": chips_used,
+        },
+    }))
+
+
 def main():
     import jax
 
@@ -285,7 +429,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE") == "train":
+    mode = os.environ.get("BENCH_MODE")
+    if mode == "train":
         main_train()
+    elif mode == "cityscapes":
+        main_cityscapes()
     else:
         main()

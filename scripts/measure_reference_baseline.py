@@ -39,69 +39,103 @@ torch.set_num_threads(os.cpu_count() or 1)
 def main():
     from ddpm.models import build_model  # reference code, executed in place
 
-    params = {
-        "backbone": "unet_openai",
-        "unet_openai": {
-            "base_channels": 32,
-            "channel_mult": None,
-            "attention_resolutions": [32, 16, 8],
-            "num_heads": 1,
-            "num_head_channels": 32,
-            "softmax_output": True,
-        },
-    }
-    num_samples = int(os.environ.get("BASE_SAMPLES", 16))
-    measure_steps = int(os.environ.get("BASE_STEPS", 3))
+    config = os.environ.get("BASE_CONFIG", "lidc")
     full_steps = 250
-    h = w = 128
 
+    if config == "cityscapes":
+        # BASELINE.json config #4 geometry: 256x512, 20 classes, DINO
+        # ViT-B/8 features concatenated at UNet stride 8. The timm/torch.hub
+        # extractor is unavailable here (no egress), but it runs ONCE per
+        # image outside the 250-step loop (`eval_cdm.py:160-165`), so the
+        # per-step cost — what gets extrapolated — is exact with a fed
+        # random feature tensor. This makes the reference number
+        # conservative-favorable: its encoder cost is excluded, while the
+        # JAX bench (BENCH_MODE=cityscapes) times its encoder in-loop.
+        num_samples = int(os.environ.get("BASE_SAMPLES", 2))
+        measure_steps = int(os.environ.get("BASE_STEPS", 2))
+        h, w, c, img_ch = 256, 512, 20, 3
+        fce = {"type": "dino", "model": "dino_vitb8", "channels": 768,
+               "conditioning": "concat_pixels_concat_features",
+               "output_stride": 8, "scale": "single", "train": False,
+               "source_layer": 11, "target_layer": 10}
+        dataset_file = "datasets.cityscapes"
+        feature_condition = torch.randn(num_samples, 768, h // 8, w // 8)
+    else:
+        num_samples = int(os.environ.get("BASE_SAMPLES", 16))
+        measure_steps = int(os.environ.get("BASE_STEPS", 3))
+        h, w, c, img_ch = 128, 128, 2, 1
+        fce = None
+        dataset_file = "datasets.lidc"
+        feature_condition = None
+
+    backbone_params = {
+        "base_channels": 32,
+        "channel_mult": None,
+        "attention_resolutions": [32, 16, 8],
+        "num_heads": 1,
+        "num_head_channels": 32,
+        "softmax_output": True,
+    }
     model = build_model(
         time_steps=full_steps,
         schedule="cosine",
         schedule_params={"s": 0.008},
-        backbone=params["backbone"],
-        backbone_params=params["unet_openai"],
-        input_shapes=[(1, h, w), (2, h, w)],
-        cond_encoded_shape=(1, h, w),
-        dataset_file="datasets.lidc",
+        backbone="unet_openai",
+        backbone_params=backbone_params,
+        input_shapes=[(img_ch, h, w), (c, h, w)],
+        cond_encoded_shape=(img_ch, h, w),
+        dataset_file=dataset_file,
         step_T_sample="confidence",
-        feature_cond_encoder=None,
+        feature_cond_encoder=fce,
     )
     model.eval()
 
-    x = torch.randn(num_samples, 1, h, w)
+    x = torch.randn(num_samples, img_ch, h, w)
     from ddpm.models.one_hot_categorical import OneHotCategoricalBCHW
 
-    xt = OneHotCategoricalBCHW(logits=torch.zeros(num_samples, 2, h, w)).sample()
+    xt = OneHotCategoricalBCHW(logits=torch.zeros(num_samples, c, h, w)).sample()
 
     with torch.no_grad():
         # warm-up one step (weight packing, allocator)
-        model(xt, x, None, torch.as_tensor(10000 + 1))
+        model(xt, x, feature_condition, torch.as_tensor(10000 + 1))
         t0 = time.perf_counter()
-        model(xt, x, None, torch.as_tensor(10000 + measure_steps))
+        model(xt, x, feature_condition, torch.as_tensor(10000 + measure_steps))
         dt = time.perf_counter() - t0
 
     per_step = dt / measure_steps
     full_time = per_step * full_steps
     samples_per_sec = num_samples / full_time
 
-    out = {
+    entry = {
         "reference_samples_per_sec": samples_per_sec,
         "protocol": {
-            "samples": num_samples, "resolution": h, "full_steps": full_steps,
-            "measured_steps": measure_steps, "per_step_seconds": per_step,
-            "extrapolated": True,
+            "samples": num_samples, "resolution": [h, w], "classes": c,
+            "full_steps": full_steps, "measured_steps": measure_steps,
+            "per_step_seconds": per_step, "extrapolated": True,
+            "feature_cond": "random tensor fed (encoder outside the step loop)"
+            if fce else None,
         },
         "backend": "torch-cpu",
         "torch_version": torch.__version__,
         "host_cpus": os.cpu_count(),
         "host": platform.node(),
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                        "BASELINE_MEASURED.json")
-    with open(os.path.abspath(path), "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps(out))
+    path = os.path.abspath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "BASELINE_MEASURED.json"))
+    # merge: the LIDC flagship keeps its historical top-level keys
+    # (bench.py's default mode reads them); others nest under their name
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    if config == "lidc":
+        existing.update(entry)
+    else:
+        existing[config] = entry
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=2)
+    print(json.dumps(entry))
 
 
 if __name__ == "__main__":
