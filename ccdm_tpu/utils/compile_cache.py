@@ -46,9 +46,17 @@ def enable_compilation_cache(params: Optional[Dict[str, Any]] = None) -> Optiona
 
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        already = jax.config.jax_compilation_cache_dir
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Only executables that took real compile time are worth the disk IO.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if already not in (None, cache_dir):
+            # jax materialises the persistent-cache singleton lazily on first
+            # use and then ignores config-dir changes; reset it so a
+            # re-point after compiles have already happened takes effect
+            from jax.experimental.compilation_cache import compilation_cache
+
+            compilation_cache.reset_cache()
     except Exception as e:  # pragma: no cover - unwritable cache dir etc.
         LOGGER.warning("compilation cache disabled (%s)", e)
         return None
