@@ -25,6 +25,36 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def _host_fingerprint() -> str:
+    """Hash of the host's CPU feature set (plus arch).
+
+    XLA:CPU persists AOT executables specialised to the compiling machine's
+    ISA extensions, and JAX's cache key does not include the host features —
+    a cache directory shared across heterogeneous hosts (NFS $HOME, container
+    images with baked caches) would load executables using instructions the
+    local CPU lacks (SIGILL). Namespacing the directory per distinct CPU
+    feature set prevents that. Note: cpu_aot_loader's warnings about
+    `+prefer-no-scatter`/`+prefer-no-gather` being "not supported on the host"
+    are false positives — those are XLA virtual tuning flags that never appear
+    in real host feature lists; they fire even on a same-host reload and are
+    harmless. A warning naming a real ISA feature (e.g. `+amx-bf16`) is the
+    hazard this fingerprint exists for.
+    """
+    import hashlib
+    import platform
+
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(line.split(":", 1)[1].strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(" ".join(bits).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(params: Optional[Dict[str, Any]] = None) -> Optional[str]:
     """Point JAX at a persistent on-disk compilation cache.
 
@@ -37,11 +67,14 @@ def enable_compilation_cache(params: Optional[Dict[str, Any]] = None) -> Optiona
     enabled = params.get("compilation_cache", True) if env is None else env not in ("0", "no", "false")
     if not enabled:
         return None
-    cache_dir = (
+    base_dir = (
         os.environ.get("CCDM_COMPILE_CACHE_DIR")
         or params.get("compilation_cache_dir")
         or _DEFAULT_DIR
     )
+    # Per-host namespace: stops one host loading another host's CPU AOT
+    # executables (SIGILL risk, see _host_fingerprint).
+    cache_dir = os.path.join(base_dir, _host_fingerprint())
     import jax
 
     try:

@@ -4,17 +4,22 @@ No reference analog (eager PyTorch); this is XLA-specific startup-latency
 infrastructure for the CLIs.
 """
 
+import os
+
 import jax
 
-from ccdm_tpu.utils.compile_cache import enable_compilation_cache
+from ccdm_tpu.utils.compile_cache import _host_fingerprint, enable_compilation_cache
 
 
 def test_enable_sets_cache_dir(tmp_path, monkeypatch):
     monkeypatch.delenv("CCDM_COMPILE_CACHE", raising=False)
     monkeypatch.setenv("CCDM_COMPILE_CACHE_DIR", str(tmp_path / "xla"))
     out = enable_compilation_cache({})
-    assert out == str(tmp_path / "xla")
-    assert (tmp_path / "xla").is_dir()
+    # The chosen dir is namespaced per host CPU so caches written by a
+    # machine with different ISA extensions are never loaded here (XLA:CPU
+    # AOT executables are feature-specialised; mismatch risks SIGILL).
+    assert out == os.path.join(str(tmp_path / "xla"), _host_fingerprint())
+    assert os.path.isdir(out)
     assert jax.config.jax_compilation_cache_dir == out
 
 
@@ -22,7 +27,12 @@ def test_params_override_beats_default(tmp_path, monkeypatch):
     monkeypatch.delenv("CCDM_COMPILE_CACHE", raising=False)
     monkeypatch.delenv("CCDM_COMPILE_CACHE_DIR", raising=False)
     out = enable_compilation_cache({"compilation_cache_dir": str(tmp_path / "p")})
-    assert out == str(tmp_path / "p")
+    assert out == os.path.join(str(tmp_path / "p"), _host_fingerprint())
+
+
+def test_host_fingerprint_stable_and_short():
+    a, b = _host_fingerprint(), _host_fingerprint()
+    assert a == b and len(a) == 12 and a.isalnum()
 
 
 def test_disable_paths(monkeypatch, tmp_path):
