@@ -53,6 +53,7 @@ class CheckpointManagers:
         self.output_path = os.path.abspath(output_path)
         self.keep = keep
         self._closed = True
+        self._preempt_unavailable = False
         self._open()
 
     def _open(self) -> None:
@@ -99,6 +100,26 @@ class CheckpointManagers:
             args=ocp.args.StandardSave(_tree_of(state)),
             metrics={name: float(score)},
         )
+
+    def reached_preemption(self, step: int) -> bool:
+        """Cross-process preemption sync point.
+
+        Cloud TPU sends SIGTERM ahead of eviction; `jax.distributed
+        .initialize()` installs a PreemptionSyncManager that turns those
+        per-process signals into ONE agreed stopping step, surfaced here via
+        Orbax's `reached_preemption`. False when no distributed runtime is up
+        or no notice arrived. No reference analog (SURVEY §5: the reference
+        has no elasticity; recovery is manual `load_from`)."""
+        if self._preempt_unavailable:
+            return False
+        self._ensure_open()
+        try:
+            return bool(self.periodic.reached_preemption(int(step)))
+        except Exception:
+            # older/newer jax may raise when the sync manager is absent —
+            # treat as "no coordinated preemption support" and stop asking
+            self._preempt_unavailable = True
+            return False
 
     def save_debug(self, state, extras: Optional[Dict[str, Any]] = None) -> None:
         """Debug-state dump on invalid loss (parity: `trainer.py:295-327`)."""

@@ -25,6 +25,7 @@ import itertools
 import logging
 import os
 import pprint
+import signal
 import time
 from typing import Any, Dict, Optional
 
@@ -114,6 +115,7 @@ class TrainingRun:
     def __init__(self, params: Dict[str, Any]):
         params = with_defaults(params)
         self.params = params
+        self._sigterm = False  # set by the SIGTERM handler, read by the loop
         self.output_path = expanduservars(params.get("output_path", "./logs/run"))
         os.makedirs(self.output_path, exist_ok=True)
         if jax.process_index() == 0:  # rank-0 I/O (utils.py:40-43 parity)
@@ -421,11 +423,27 @@ class TrainingRun:
 
     # ---- the loop ----------------------------------------------------------
 
+    def _on_sigterm(self, signum, frame):
+        # Preemption notice (Cloud TPU sends SIGTERM before eviction). Only
+        # set a flag here: saving from inside a signal handler would re-enter
+        # Orbax/XLA at an arbitrary point. The step loop saves and exits.
+        self._sigterm = True
+
     def run(self, max_steps: Optional[int] = None) -> TrainState:
         self._profiling = False
+        # NOTE: _sigterm is NOT reset here — a TERM delivered between
+        # construction and run() (or between two run() calls) still means
+        # "the scheduler wants this process gone"; stop at the first step.
+        prev_handler: Any = self  # sentinel: "handler not installed"
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, self._on_sigterm)
+        except ValueError:  # not the main thread — no graceful-preempt path
+            pass
         try:
             return self._run_impl(max_steps)
         finally:
+            if prev_handler is not self:
+                signal.signal(signal.SIGTERM, prev_handler)
             # close out EVERY exit path (early max_steps return, invalid-loss
             # abort, normal completion): stop a still-open profiler trace and
             # drain async Orbax saves — otherwise the trace is left corrupt /
@@ -568,6 +586,20 @@ class TrainingRun:
                             self.metrics.log_image(step, png, f"iteration {step}")
                         except Exception as e:  # non-fatal
                             LOGGER.warning("qualitative grid failed: %s", e)
+                # graceful preemption: multiprocess runs stop at the step the
+                # coordination service agreed on (all hosts save together —
+                # the Orbax barrier requires that); single-process runs act
+                # on the local SIGTERM flag directly
+                if self.checkpoints.reached_preemption(step) or (
+                        self._sigterm and jax.process_count() == 1):
+                    drain(block_all=True)
+                    self.checkpoints.save_periodic(self.state)
+                    self.checkpoints.wait()
+                    LOGGER.warning(
+                        "preemption notice — state saved at step %d under %s; "
+                        "rerun with load_from to resume the remaining budget",
+                        step, self.output_path)
+                    return self.state
                 if max_steps is not None and total >= max_steps:
                     drain(block_all=True)
                     # the early exit is still a run end: persist the final
