@@ -20,9 +20,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# persistent compile cache: repeat suite runs skip most XLA-CPU compiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# persistent compile cache: repeat suite runs skip most XLA-CPU compiles.
+# Lives under ~/.cache (namespaced per host CPU feature set), NOT /tmp —
+# /tmp is wiped between sessions and a cold suite on a 1-core host is slow.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from ccdm_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache({"compilation_cache_dir": os.path.expanduser(
+    "~/.cache/ccdm_tpu/xla_tests")})
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
