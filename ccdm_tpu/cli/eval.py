@@ -48,20 +48,27 @@ def main():
     dataset_file = params["dataset_file"]
 
     if "_sampling_speed" in dataset_file:
+        # benchmark mode is encoded in the name, as in `ddpm_eval.py:39-41`
         from ccdm_tpu.eval.lidc_sampling_speed import eval_lidc_sampling_speed
 
         params = dict(params, dataset_file=dataset_file.replace("_sampling_speed", ""))
         eval_lidc_sampling_speed(params)
-    elif "lidc" in dataset_file or "synthetic" in dataset_file:
-        from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
-
-        eval_lidc_uncertainty(params)
-    elif "cityscapes" in dataset_file:
-        from ccdm_tpu.eval.cityscapes_eval import run_inference
-
-        run_inference(params)
     else:
-        raise ValueError(f"no evaluator for dataset_file {dataset_file!r}")
+        # evaluator choice is a dataset property, not a name property: the
+        # module protocol's is_multi_annotator() selects GED/HM-IoU vs the
+        # full-image inference + mIoU path (reference substring dispatch,
+        # `ddpm_eval.py:39-47`, kept as the fallback for user modules)
+        from ccdm_tpu.data.registry import is_multi_annotator, resolve_dataset_module
+
+        module = resolve_dataset_module(dataset_file)
+        if is_multi_annotator(module, dataset_file):
+            from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
+
+            eval_lidc_uncertainty(params)
+        else:
+            from ccdm_tpu.eval.cityscapes_eval import run_inference
+
+            run_inference(params)
 
 
 if __name__ == "__main__":

@@ -141,3 +141,8 @@ def get_num_classes() -> int:
 
 def get_ignore_class() -> int:
     return BACKGROUND_CLASS
+
+
+def is_multi_annotator() -> bool:
+    """Single ground-truth label per image -> confusion-matrix mIoU path."""
+    return False

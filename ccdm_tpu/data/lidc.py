@@ -135,3 +135,9 @@ def get_num_classes() -> int:
 
 def get_ignore_class():
     return BACKGROUND_CLASS
+
+
+def is_multi_annotator() -> bool:
+    """Test samples carry all 4 expert masks (dataset-module protocol flag
+    used by the GED-vs-mIoU evaluation dispatch)."""
+    return True

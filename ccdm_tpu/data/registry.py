@@ -31,3 +31,20 @@ def resolve_dataset_module(dataset_file: str):
         if not hasattr(module, attr):
             raise AttributeError(f"dataset module {name!r} lacks required {attr}()")
     return module
+
+
+def is_multi_annotator(module, dataset_file: str = "") -> bool:
+    """Whether the dataset carries multiple expert annotations per image
+    (LIDC-style `labels`/`likelihoods` test samples) — which selects the
+    GED/HM-IoU evaluation path over the confusion-matrix mIoU path.
+
+    Protocol-first: a dataset module may declare `is_multi_annotator()`
+    explicitly (the in-tree modules do). Fallback for user modules that
+    predate the flag: the reference's name-substring dispatch
+    (`ddpm_eval.py:39-47`), so any `datasets.lidc*` import keeps working.
+    """
+    fn = getattr(module, "is_multi_annotator", None)
+    if fn is not None:
+        return bool(fn())
+    name = dataset_file or getattr(module, "__name__", "")
+    return "lidc" in name or "synthetic" in name

@@ -84,8 +84,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Self-attention `[B, T, H, dh] -> [B, T, H, dh]` without the T x T HBM tensor.
 
     Differentiable: the custom VJP computes the standard attention backward
-    in XLA (materialising T x T only inside the backward pass — training
-    keeps working; the memory saving applies to the forward/inference path).
+    in XLA — dense (one fused program) up to `BWD_DENSE_MAX_ELEMENTS`
+    attention entries per head, streaming over query blocks beyond that so
+    large-T training never materialises the T x T tensor either.
     """
     return _flash_fwd_impl(q, k, v, block_q, interpret)
 
@@ -114,10 +115,28 @@ def _flash_vjp_fwd(q, k, v, block_q, interpret):
     return _flash_fwd_impl(q, k, v, block_q, interpret), (q, k, v)
 
 
+# Above this many attention-matrix elements per (batch, head) — T_q x T_k —
+# the backward streams query blocks instead of materialising the full T x T
+# tensor, which would silently reintroduce the HBM blow-up the forward kernel
+# exists to avoid (e.g. training the 256x512 DINO config: T=2048, 16 heads,
+# batch 16 -> 4 GB fp32 just for A). 1024^2 keeps every LIDC/Cityscapes
+# geometry below the switch on the dense path, where one fused XLA program
+# is fastest.
+BWD_DENSE_MAX_ELEMENTS = 1024 * 1024
+BWD_BLOCK_Q = 512
+
+
 def _flash_vjp_bwd(block_q, interpret, residuals, g):
+    q, k, v = residuals
+    t = q.shape[1]
+    if t * t <= BWD_DENSE_MAX_ELEMENTS:
+        return _bwd_dense(q, k, v, g)
+    return _bwd_streaming(q, k, v, g)
+
+
+def _bwd_dense(q, k, v, g):
     """Standard attention backward (XLA): with A = softmax(s·q·kᵀ),
     dV = Aᵀ·g, dS = A ⊙ (g·vᵀ − rowsum(A ⊙ g·vᵀ)), dQ = s·dS·k, dK = s·dSᵀ·q."""
-    q, k, v = residuals
     dh = q.shape[-1]
     s = 1.0 / math.sqrt(dh)  # combined scale of the two 1/sqrt(sqrt(dh)) factors
     logits = jnp.einsum("bthd,bshd->bhts", q, k,
@@ -132,6 +151,54 @@ def _flash_vjp_bwd(block_q, interpret, residuals, g):
                     preferred_element_type=jnp.float32) * s
     dk = jnp.einsum("bhts,bthd->bshd", ds, q.astype(jnp.float32),
                     preferred_element_type=jnp.float32) * s
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _bwd_streaming(q, k, v, g):
+    """Query-block streaming backward: same math as `_bwd_dense` but the
+    attention matrix only ever exists as a [B, H, block, T] slab. dK/dV are
+    accumulated across blocks in a `lax.scan`; dQ blocks are emitted per
+    step. Peak extra memory: O(B·H·block·T) instead of O(B·H·T²).
+
+    Zero-padded query rows are exact no-ops: their g rows are zero, so their
+    dV/dK contributions vanish and their (sliced-off) dQ rows are ignored.
+    """
+    b, t, h, dh = q.shape
+    s = 1.0 / math.sqrt(dh)
+    block = min(BWD_BLOCK_Q, t)
+    pad = (-t) % block
+
+    def pad_q_axis(x):
+        return jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0))) if pad else x
+
+    n_blocks = (t + pad) // block
+    # [n_blocks, B, block, H, dh] so scan's leading axis walks query blocks
+    qb = pad_q_axis(q).reshape(b, n_blocks, block, h, dh).transpose(1, 0, 2, 3, 4)
+    gb = pad_q_axis(g).reshape(b, n_blocks, block, h, dh).transpose(1, 0, 2, 3, 4)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    def body(carry, inp):
+        dk_acc, dv_acc = carry
+        qi, gi = inp
+        logits = jnp.einsum("bthd,bshd->bhts", qi.astype(jnp.float32), kf,
+                            preferred_element_type=jnp.float32) * s
+        a = jax.nn.softmax(logits, axis=-1)
+        gf = gi.astype(jnp.float32)
+        dv_acc = dv_acc + jnp.einsum("bhts,bthd->bshd", a, gf,
+                                     preferred_element_type=jnp.float32)
+        da = jnp.einsum("bthd,bshd->bhts", gf, vf,
+                        preferred_element_type=jnp.float32)
+        ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
+        dq_i = jnp.einsum("bhts,bshd->bthd", ds, kf,
+                          preferred_element_type=jnp.float32) * s
+        dk_acc = dk_acc + jnp.einsum("bhts,bthd->bshd", ds, qi.astype(jnp.float32),
+                                     preferred_element_type=jnp.float32) * s
+        return (dk_acc, dv_acc), dq_i
+
+    zeros = jnp.zeros((b, t, h, dh), jnp.float32)
+    (dk, dv), dq_blocks = jax.lax.scan(body, (zeros, zeros), (qb, gb))
+    dq = dq_blocks.transpose(1, 0, 2, 3, 4).reshape(b, n_blocks * block, h, dh)[:, :t]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

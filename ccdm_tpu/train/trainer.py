@@ -66,7 +66,9 @@ def _device_memory_gb() -> float:
     try:
         stats = jax.local_devices()[0].memory_stats() or {}
         return stats.get("bytes_in_use", 0) / 1e9
-    except Exception:
+    except (NotImplementedError, AttributeError, IndexError, jax.errors.JaxRuntimeError):
+        # backends without memory stats (CPU), or a device list the platform
+        # can't serve — anything else (a real backend fault) propagates
         return 0.0
 
 
@@ -331,7 +333,9 @@ class TrainingRun:
     def validate(self) -> Dict[str, float]:
         params = self.params
         metrics: Dict[str, float] = {}
-        if "lidc" in params["dataset_file"] or "synthetic" in params["dataset_file"]:
+        from ccdm_tpu.data.registry import is_multi_annotator
+
+        if is_multi_annotator(self.module, params["dataset_file"]):
             num_samples = int(params.get("samples", 12))
             val_bs = max(1, self.batch_size // num_samples)
             ged, div, hmiou = compute_ged(
@@ -352,20 +356,29 @@ class TrainingRun:
             self.checkpoints.save_best("ged", self.state, ged)
             self.checkpoints.save_best("hmiou", self.state, hmiou)
         else:
-            (miou,) = self._agree_across_hosts(self.validate_miou())
-            LOGGER.info("val mIoU: %.4f", miou)
-            metrics.update(mIoU=miou)
+            # val mIoU drives best checkpoints; a second pass over 6 train
+            # images is logged only (parity: the engine_train mIoU attach,
+            # `trainer.py:404-407,553-563`)
+            miou, train_miou = self._agree_across_hosts(
+                self.validate_miou(),
+                self.validate_miou(max_images=6, dataset=self.train_ds))
+            LOGGER.info("val mIoU: %.4f (train-split mIoU: %.4f)", miou, train_miou)
+            metrics.update(mIoU=miou, mIoU_train=train_miou)
             if self.is_main:
                 self.metrics.log(int(self.state.step), metrics, tag="val")
             self.checkpoints.save_best("miou", self.state, miou)
         return metrics
 
-    def validate_miou(self, max_images: Optional[int] = 16) -> float:
+    def validate_miou(self, max_images: Optional[int] = 16, dataset=None) -> float:
         """Full-sampler prediction -> confusion-matrix mIoU (parity:
-        `test_step` + ignite CM, `trainer.py:329-342,398-407`)."""
+        `test_step` + ignite CM, `trainer.py:329-342,398-407`). `dataset`
+        defaults to the val split; passing `self.train_ds` reproduces the
+        reference's train-split pass (its samples carry one-hot `x0` and
+        augmentations, seeded per-index here for determinism)."""
+        ds = self.val_ds if dataset is None else dataset
         sampler = self._val_sampler(1)
         cm = ConfusionMatrix(self.num_classes, self.ignore_class)
-        n = min(len(self.val_ds), max_images or len(self.val_ds))
+        n = min(len(ds), max_images or len(ds))
         if n == 0:
             return float("nan")
         bs = max(1, min(self.batch_size // 4, n))
@@ -379,12 +392,14 @@ class TrainingRun:
         my_indices = host_slice(n)
         for start in range(0, len(my_indices), bs):
             idx, real = pad_chunk(my_indices[start:start + bs], bs)
-            samples = [self.val_ds.get(i) for i in idx]
+            samples = [ds.get(i, np.random.default_rng(1000 + i)) for i in idx]
             images = np.stack([s["image"] for s in samples])
             if "labels" in samples[0]:  # multi-annotator protocol
                 true = np.argmax(np.stack([s["labels"][0] for s in samples]), -1)
-            else:
+            elif "label" in samples[0]:
                 true = np.stack([s["label"] for s in samples])
+            else:  # training-split sample: one-hot x0
+                true = np.argmax(np.stack([s["x0"] for s in samples]), -1)
             preds = sampler(ema, jnp.asarray(images), key,
                             jnp.asarray(idx, jnp.int32),
                             feature_params=self._val_feature_params())

@@ -19,10 +19,16 @@ from typing import Any, Dict, Optional
 
 LOGGER = logging.getLogger(__name__)
 
-_DEFAULT_DIR = os.path.join(
-    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-    "ccdm_tpu", "xla",
-)
+def default_cache_dir(name: str = "xla") -> str:
+    """XDG-aware cache location for a named ccdm_tpu cache (the test suite
+    uses `xla_tests` so its XLA:CPU artifacts never mix with CLI runs)."""
+    return os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "ccdm_tpu", name,
+    )
+
+
+_DEFAULT_DIR = default_cache_dir("xla")
 
 
 def _host_fingerprint() -> str:
@@ -64,12 +70,21 @@ def enable_compilation_cache(params: Optional[Dict[str, Any]] = None) -> Optiona
     """
     params = params or {}
     env = os.environ.get("CCDM_COMPILE_CACHE")
-    enabled = params.get("compilation_cache", True) if env is None else env not in ("0", "no", "false")
+    # Precedence: an EXPLICIT params key wins over the env var (a caller that
+    # passes one means it — e.g. the test suite pinning its own cache), the
+    # env var over the default. Same rule for the directory below, so
+    # CCDM_COMPILE_CACHE_DIR set for CLI runs cannot redirect the test cache.
+    if "compilation_cache" in params:
+        enabled = bool(params["compilation_cache"])
+    elif env is not None:
+        enabled = env not in ("0", "no", "false")
+    else:
+        enabled = True
     if not enabled:
         return None
     base_dir = (
-        os.environ.get("CCDM_COMPILE_CACHE_DIR")
-        or params.get("compilation_cache_dir")
+        params.get("compilation_cache_dir")
+        or os.environ.get("CCDM_COMPILE_CACHE_DIR")
         or _DEFAULT_DIR
     )
     # Per-host namespace: stops one host loading another host's CPU AOT

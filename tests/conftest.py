@@ -27,10 +27,14 @@ jax.config.update("jax_num_cpu_devices", 8)
 import sys  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from ccdm_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+from ccdm_tpu.utils.compile_cache import (  # noqa: E402
+    default_cache_dir, enable_compilation_cache)
 
-enable_compilation_cache({"compilation_cache_dir": os.path.expanduser(
-    "~/.cache/ccdm_tpu/xla_tests")})
+# Explicit params here win over any CCDM_COMPILE_CACHE* env vars a user set
+# for CLI runs (test artifacts must never land in — or disable — the CLI
+# cache); XDG-aware base, same as the CLI default.
+enable_compilation_cache({"compilation_cache": True,
+                          "compilation_cache_dir": default_cache_dir("xla_tests")})
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -61,3 +61,27 @@ def test_cache_populates_on_compile(tmp_path, monkeypatch):
         assert entries, "compilation cache directory stayed empty after a jit"
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def test_explicit_params_beat_env(tmp_path, monkeypatch):
+    """An explicitly passed param wins over the env var (ADVICE r2): a user's
+    CCDM_COMPILE_CACHE_DIR/-CACHE=0 set for CLI runs must not redirect or
+    disable a caller that pins its own cache (the test suite)."""
+    monkeypatch.setenv("CCDM_COMPILE_CACHE_DIR", str(tmp_path / "cli"))
+    monkeypatch.setenv("CCDM_COMPILE_CACHE", "0")
+    out = enable_compilation_cache({
+        "compilation_cache": True,
+        "compilation_cache_dir": str(tmp_path / "tests")})
+    assert out == os.path.join(str(tmp_path / "tests"), _host_fingerprint())
+    # env still applies when params carry no explicit keys
+    monkeypatch.setenv("CCDM_COMPILE_CACHE", "1")
+    out = enable_compilation_cache({})
+    assert out == os.path.join(str(tmp_path / "cli"), _host_fingerprint())
+
+
+def test_default_cache_dir_honors_xdg(monkeypatch, tmp_path):
+    from ccdm_tpu.utils.compile_cache import default_cache_dir
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
+    assert default_cache_dir("xla_tests") == str(
+        tmp_path / "xdg" / "ccdm_tpu" / "xla_tests")

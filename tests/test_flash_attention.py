@@ -82,3 +82,32 @@ def test_attention_block_flash_flag_matches_dense():
     finally:
         fa.flash_attention = saved
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_streaming_backward_matches_dense(monkeypatch):
+    """Large-T backward streams query blocks; grads must equal the dense
+    backward exactly-in-semantics (fp32 accumulation both sides), including
+    when T is not a multiple of the backward block (padding no-op rows)."""
+    import ccdm_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "BWD_DENSE_MAX_ELEMENTS", 0)  # force streaming
+    monkeypatch.setattr(fa, "BWD_BLOCK_Q", 64)
+    b, t, h, dh = 2, 160, 2, 32  # 160 = 2*64 + 32 -> exercises the pad path
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, t, h, dh), jnp.float32)
+    k = jax.random.normal(kk, (b, t, h, dh), jnp.float32)
+    v = jax.random.normal(kv, (b, t, h, dh), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, block_q=128,
+                                               interpret=True)))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(dense_attention(q, k, v)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for ours, ref, name in zip(gf, gd, "qkv"):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=3e-5, err_msg=name)
