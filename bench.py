@@ -121,7 +121,16 @@ def main_train():
     reps = int(os.environ.get("BENCH_REPS", 1 if fallback else 3))
     h = w = 128
 
-    model = build_model(FLAGSHIP_PARAMS, num_classes=2, image_channels=1,
+    # train-step A/B knobs (PERFNOTES train-step roofline):
+    # BENCH_REMAT_ATTENTION=0 and BENCH_NORM_FP32=0 override the defaults
+    cfg = dict(FLAGSHIP_PARAMS)
+    bb = dict(cfg["unet_openai"])
+    if os.environ.get("BENCH_REMAT_ATTENTION") is not None:
+        bb["remat_attention"] = os.environ["BENCH_REMAT_ATTENTION"] not in ("0", "no")
+    if os.environ.get("BENCH_NORM_FP32") is not None:
+        bb["norm_fp32"] = os.environ["BENCH_NORM_FP32"] not in ("0", "no")
+    cfg["unet_openai"] = bb
+    model = build_model(cfg, num_classes=2, image_channels=1,
                         image_size=h)
     params = model.init(jax.random.PRNGKey(0), (h, w, 1))
     tx, sched = build_optimizer(FLAGSHIP_PARAMS, steps_per_epoch=1000)
@@ -157,6 +166,8 @@ def main_train():
         "config": {
             "batch": batch, "steps_per_launch": k_steps, "reps": reps,
             "ms_per_step": round(1e3 * dt / (reps * k_steps), 2),
+            "remat_attention": bb.get("remat_attention", True),
+            "norm_fp32": bb.get("norm_fp32", True),
             "backend": ("cpu-fallback (TPU tunnel unreachable)"
                         if fallback else jax.default_backend()),
             "device": str(jax.devices()[0]),
@@ -229,7 +240,7 @@ def main_cityscapes():
     if int8_mode in ("1", "static"):
         cfg["quantized_inference"] = True
     model = build_model(cfg, num_classes=c, image_channels=3, image_size=h)
-    feature_fn, feature_shape = build_eval_feature_fn(cfg, (h, w, 3))
+    feature_fn, feature_shape, enc_params = build_eval_feature_fn(cfg, (h, w, 3))
     params = model.init(jax.random.PRNGKey(0), (h, w, 3),
                         feature_shape=feature_shape)
 
@@ -244,7 +255,8 @@ def main_cityscapes():
         from ccdm_tpu.ops import quant
 
         model = quant.calibrate_static_scales(model, params, images[:1],
-                                              feature_fn=feature_fn)
+                                              feature_fn=feature_fn,
+                                              feature_params=enc_params)
 
     enc_time = 0.0
     if measured_steps != num_steps:
@@ -253,23 +265,30 @@ def main_cityscapes():
         # measured_steps. Time it separately, run the scan on precomputed
         # features, and recombine analytically below.
         feat_jit = jax.jit(feature_fn)
-        feats = feat_jit(images)
+        feats = feat_jit(enc_params, images)
         feats.block_until_ready()
         t0 = time.perf_counter()
-        feat_jit(images).block_until_ready()
+        feat_jit(enc_params, images).block_until_ready()
         enc_time = time.perf_counter() - t0
-        sampler_feature_fn = lambda img: feats  # noqa: E731
+        # feats are still a runtime ARGUMENT (threaded through the 2-arg
+        # protocol), not a baked constant
+        sampler_feature_fn = lambda f, img: f  # noqa: E731
+        sampler_feature_params = feats
     else:
         sampler_feature_fn = feature_fn
+        sampler_feature_params = enc_params
     sampler = make_prob_sampler(model, num_samples, measured_steps, mesh=mesh,
                                 feature_fn=sampler_feature_fn)
 
-    float(jnp.sum(sampler(params, images, key)))  # warmup/compile + readback
+    # warmup/compile + readback
+    float(jnp.sum(sampler(params, images, key,
+                          feature_params=sampler_feature_params)))
 
     t0 = time.perf_counter()
     acc = 0.0
     for i in range(reps):
-        acc += float(jnp.sum(sampler(params, images, jax.random.fold_in(key, i))))
+        acc += float(jnp.sum(sampler(params, images, jax.random.fold_in(key, i),
+                                     feature_params=sampler_feature_params)))
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
 

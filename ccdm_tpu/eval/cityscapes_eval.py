@@ -85,7 +85,8 @@ class CityscapesEvaluator:
         self.model = build_model(p, self.num_classes,
                                  image_channels=image_shape[-1],
                                  image_size=min(image_shape[:2]))
-        feature_fn, feature_shape = build_eval_feature_fn(self.params, image_shape)
+        feature_fn, feature_shape, self.feature_params = build_eval_feature_fn(
+            self.params, image_shape)
         self.model_params = load_eval_params(self.params, self.model, image_shape,
                                              feature_shape)
         if str(self.params.get("quantized_inference", "")).lower() == "static":
@@ -98,7 +99,7 @@ class CityscapesEvaluator:
                 self.model, self.model_params,
                 np.stack([dataset.get(i, np.random.default_rng(i))["image"]
                           for i in range(min(2, len(dataset)))]),
-                feature_fn=feature_fn)
+                feature_fn=feature_fn, feature_params=self.feature_params)
         # single-process multi-chip: shard the B*votes generation batch over
         # a local mesh (multi-process runs instead slice the dataset per
         # host, so the local computation stays unsharded)
@@ -117,7 +118,8 @@ class CityscapesEvaluator:
         `indices` are global dataset positions — each image's votes are a
         pure function of (key, index), independent of batching/topology."""
         probs = self.sampler(self.model_params, jnp.asarray(images), key,
-                             jnp.asarray(indices, jnp.int32))
+                             jnp.asarray(indices, jnp.int32),
+                             feature_params=self.feature_params)
         return jnp.mean(probs, axis=1)  # mean over the vote axis
 
     def _dump_pngs(self, idx: int, pred_train_id: np.ndarray, label_train_id: np.ndarray):

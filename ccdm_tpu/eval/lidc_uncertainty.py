@@ -134,7 +134,14 @@ def load_eval_params(params: Dict[str, Any], model: DenoisingModel, image_shape,
 
 
 def build_eval_feature_fn(params: Dict[str, Any], image_shape):
-    """Eval-time DINO conditioning: `(feature_fn or None, feature_shape or None)`.
+    """Eval-time DINO conditioning: `(feature_fn, feature_shape, enc_params)`
+    — all None when no encoder is configured.
+
+    `feature_fn(enc_params, images)` is 2-arg: the weights thread through
+    every jit as an ARGUMENT. Closing a ViT-B/8 (~340 MB fp32) over the
+    sampler bakes it into the HLO as constants, which exceeds remote-compile
+    request limits (observed HTTP 413 through the TPU tunnel) and bloats the
+    persistent compile cache.
 
     Encoder weights resolve in the reference's fallback order
     (`eval_cdm.py:131-144`): checkpoint `average_feature_cond_encoder`, then
@@ -143,7 +150,7 @@ def build_eval_feature_fn(params: Dict[str, Any], image_shape):
     """
     fce = params.get("feature_cond_encoder") or {"type": "none"}
     if fce.get("type") != "dino":
-        return None, None
+        return None, None, None
     from ccdm_tpu.models.dino import DinoFeatureEncoder
 
     encoder = DinoFeatureEncoder(fce)
@@ -169,7 +176,7 @@ def build_eval_feature_fn(params: Dict[str, Any], image_shape):
         LOGGER.warning("DINO eval conditioning with RANDOM encoder weights")
     feature_shape = (image_shape[0] // encoder.stride,
                      image_shape[1] // encoder.stride, encoder.channels)
-    return (lambda img: encoder(enc_params, img)), feature_shape
+    return (lambda p, img: encoder(p, img)), feature_shape, enc_params
 
 
 def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = None,
@@ -192,7 +199,7 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
     image_shape = first["image"].shape
     model = build_model(params, num_classes, image_channels=image_shape[-1],
                         image_size=min(image_shape[:2]))  # builder.py:36 parity
-    feature_fn, feature_shape = build_eval_feature_fn(params, image_shape)
+    feature_fn, feature_shape, enc_params = build_eval_feature_fn(params, image_shape)
     if model_params is None:
         model_params = load_eval_params(params, model, image_shape, feature_shape)
 
@@ -207,7 +214,7 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
         model = quant.calibrate_static_scales(
             model, model_params,
             np.stack([dataset.get(i)["image"] for i in range(n_cal)]),
-            feature_fn=feature_fn)
+            feature_fn=feature_fn, feature_params=enc_params)
 
     from ccdm_tpu.parallel.mesh import mesh_for_eval
 
@@ -251,7 +258,8 @@ def eval_lidc_uncertainty(params: Dict[str, Any], num_steps: Optional[int] = Non
 
         t0 = time.perf_counter()
         probs = sampler(model_params, images, key,
-                        jnp.asarray(idx, jnp.int32))  # [B,S,H,W,C]
+                        jnp.asarray(idx, jnp.int32),
+                        feature_params=enc_params)  # [B,S,H,W,C]
         probs.block_until_ready()
         batch_seconds.append(time.perf_counter() - t0)
         batch_real.append(real)

@@ -163,6 +163,9 @@ def build_model(
         feature_cond_stride=feature_stride,
         dtype=dtype,
         remat_resblocks=bool(bb.get("use_checkpoint", False)),
+        # reference checkpoints attention unconditionally (`unet.py:303`);
+        # here it is a measured knob (PERFNOTES train-step A/B)
+        remat_attention=bool(bb.get("remat_attention", True)),
         norm_fp32=bool(bb.get("norm_fp32", True)),
         # TPU-native int8 inference mode (no reference analogue; ops/quant.py)
         quantize_convs=bool(params.get("quantized_inference", False)),

@@ -222,6 +222,7 @@ def create_unet(
     feature_cond_stride: int = 8,
     dtype: jnp.dtype = jnp.bfloat16,
     remat_resblocks: bool = False,
+    remat_attention: bool = True,
     norm_fp32: bool = True,
     quantize_convs: bool = False,
 ) -> UNetModel:
@@ -244,6 +245,7 @@ def create_unet(
         feature_cond_stride=feature_cond_stride,
         dtype=dtype,
         remat_resblocks=remat_resblocks,
+        remat_attention=remat_attention,
         norm_fp32=norm_fp32,
         quantize_convs=quantize_convs,
     )

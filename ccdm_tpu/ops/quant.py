@@ -46,7 +46,7 @@ def quantize_symmetric(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
 STATIC_ACTIVATION_SCALE: Optional[float] = None
 
 def calibrate_sampler(model, params, images: jnp.ndarray, key: jax.Array,
-                      num_steps: int = 8, feature_fn=None):
+                      num_steps: int = 8, feature_fn=None, feature_params=None):
     """Per-conv-site activation absmax from a short ancestral rollout.
 
     Runs `num_steps` subsampled reverse steps (the real sampler recurrence,
@@ -69,7 +69,10 @@ def calibrate_sampler(model, params, images: jnp.ndarray, key: jax.Array,
 
     num_steps = min(num_steps, model.time_steps)
     b, h, w, _ = images.shape
-    fc = feature_fn(images) if feature_fn is not None else None
+    fc = None
+    if feature_fn is not None:
+        fc = (feature_fn(feature_params, images) if feature_params is not None
+              else feature_fn(images))
 
     @jax.jit
     def cal_step(xt, t, step_key):
@@ -93,7 +96,8 @@ def calibrate_sampler(model, params, images: jnp.ndarray, key: jax.Array,
     return scales
 
 
-def calibrate_static_scales(model, params, images, feature_fn=None):
+def calibrate_static_scales(model, params, images, feature_fn=None,
+                            feature_params=None):
     """Calibrated static scales on `images` -> a model that uses them.
 
     The shared `quantized_inference: static` entry point for the eval
@@ -103,7 +107,8 @@ def calibrate_static_scales(model, params, images, feature_fn=None):
     so concurrent or subsequent models cannot inherit a stale table.
     """
     scales = calibrate_sampler(model, params, jnp.asarray(images),
-                               jax.random.PRNGKey(0), feature_fn=feature_fn)
+                               jax.random.PRNGKey(0), feature_fn=feature_fn,
+                               feature_params=feature_params)
     return model.with_quant_scales(scales)
 
 

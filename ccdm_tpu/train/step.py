@@ -41,14 +41,10 @@ def train_loss(
     rng: jax.Array,
     class_weights: jnp.ndarray,
     feature_condition: Optional[jnp.ndarray] = None,
-    feature_fn: Optional[Callable] = None,
 ) -> tuple:
     """Compute the CCDM training loss for one batch. Returns (loss, aux)."""
     image = batch["image"]
     x0 = batch["x0"]
-    if feature_condition is None and feature_fn is not None:
-        # frozen DINO conditioning computed in-graph (trainer.py:246 parity)
-        feature_condition = feature_fn(image)
     b = x0.shape[0]
     d = model.diffusion
 
@@ -96,13 +92,16 @@ def make_train_step(
 
     Two conditioning modes (parity: `condition_encoder.py:36-38`,
     `optimizer.py:13-14`, `trainer.py:712`):
-    - `feature_fn(images)`: FROZEN encoder; weights are closed-over constants.
+    - `feature_fn(enc_params, images)`: FROZEN encoder; the weights enter
+      the program as the step's `enc_params` ARGUMENT, never as closed-over
+      constants — a ViT-B/8 baked into the HLO would exceed remote-compile
+      request limits and defeat the persistent compile cache.
     - `encoder_apply(enc_params, images)`: TRAINABLE encoder; `state.params`
       must be `{"unet": ..., "encoder": ...}` — the encoder is optimised
       jointly and the tree-wide EMA doubles as the encoder Polyak pair.
     """
 
-    def step(state: TrainState, batch: dict, rng: jax.Array):
+    def step(state: TrainState, batch: dict, rng: jax.Array, enc_params=None):
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -110,8 +109,12 @@ def make_train_step(
                 fc = encoder_apply(params["encoder"], batch["image"])
                 return train_loss(model, params["unet"], batch, step_rng,
                                   class_weights, fc)
-            return train_loss(model, params, batch, step_rng, class_weights,
-                              batch.get("feature_condition"), feature_fn)
+            fc = batch.get("feature_condition")
+            if fc is None and feature_fn is not None:
+                # frozen DINO conditioning computed in-graph
+                # (trainer.py:246 parity)
+                fc = feature_fn(enc_params, batch["image"])
+            return train_loss(model, params, batch, step_rng, class_weights, fc)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
@@ -142,9 +145,9 @@ def make_multi_step(step_fn: Callable) -> Callable:
     through a remote tunnel costs ~75 ms (PERFNOTES.md).
     """
 
-    def multi(state: TrainState, batches: dict, rng: jax.Array):
+    def multi(state: TrainState, batches: dict, rng: jax.Array, enc_params=None):
         def body(st, batch):
-            return step_fn(st, batch, rng)
+            return step_fn(st, batch, rng, enc_params)
 
         state, ms = jax.lax.scan(body, state, batches)
         metrics = {k: v[-1] for k, v in ms.items()}

@@ -168,7 +168,10 @@ class TrainingRun:
             if encoder.trainable:
                 self.encoder_apply = lambda p, img: encoder(p, img)
             else:
-                self.feature_fn = lambda img: encoder(enc_params, img)
+                # 2-arg: frozen weights thread through every jit as an
+                # ARGUMENT (a ViT-B/8 closed over as HLO constants exceeds
+                # remote-compile request limits)
+                self.feature_fn = lambda p, img: encoder(p, img)
             feature_shape = (image_shape[0] // encoder.stride,
                              image_shape[1] // encoder.stride, encoder.channels)
             LOGGER.info("DINO feature conditioning: %s stride=%d ch=%d train=%s",
@@ -192,6 +195,10 @@ class TrainingRun:
             feature_shape=feature_shape)
         if self.encoder_apply is not None:
             init_params = {"unet": init_params, "encoder": enc_params}
+        # frozen-encoder weights live OUTSIDE the train state (not optimised,
+        # not checkpointed — reference parity: `condition_encoder.py:36-38`)
+        # and are passed to every step/sampler launch as an argument
+        self.frozen_enc_params = enc_params if self.feature_fn is not None else None
         n_params = sum(p.size for p in jax.tree.leaves(init_params))
         LOGGER.info("UNet parameters: %.3fM", n_params / 1e6)
 
@@ -231,7 +238,7 @@ class TrainingRun:
         # step consumes (image, x0, optional feature_condition)
         self.jit_step = jax.jit(
             step_fn,
-            in_shardings=(sh, self.batch_sh, self.rep),
+            in_shardings=(sh, self.batch_sh, self.rep, self.rep),
             out_shardings=(sh, self.rep),
             donate_argnums=0,
         )
@@ -247,12 +254,18 @@ class TrainingRun:
             self.stacked_sh = stacked_sh
             self.jit_multi_step = jax.jit(
                 make_multi_step(step_fn),
-                in_shardings=(sh, stacked_sh, self.rep),
+                in_shardings=(sh, stacked_sh, self.rep, self.rep),
                 out_shardings=(sh, self.rep),
                 donate_argnums=0,
             )
         self.rng = put_replicated_global(
             jax.random.PRNGKey(int(params.get("seed", 0)) + 1), self.rep)
+        # mesh-staged copy of the frozen encoder weights for the train step
+        # (multihost: host-local arrays cannot enter a global-mesh jit)
+        self._enc_global = (
+            jax.tree.map(lambda x: put_replicated_global(x, self.rep),
+                         self.frozen_enc_params)
+            if self.frozen_enc_params is not None else None)
         self.steps_per_epoch = steps_per_epoch
         self.is_main = jax.process_index() == 0
         self._samplers = {}  # (num_samples, num_steps) -> jitted sampler
@@ -262,21 +275,21 @@ class TrainingRun:
     def _val_feature_params(self):
         """Feature-encoder params for eval sampling: the EMA (average)
         encoder when trainable (parity: `predict` uses
-        average_feature_cond_encoder, `trainer.py:350-352`), else None
-        (frozen weights are closed over by the cached sampler)."""
+        average_feature_cond_encoder, `trainer.py:350-352`), else the frozen
+        weights (threaded as a call argument, never baked into the HLO)."""
         if self.encoder_apply is not None:
             return self.ema_unwrap()["encoder"]
-        return None
+        return self.frozen_enc_params
 
     def _val_sampler(self, num_samples: int, num_steps: Optional[int] = None):
         """Cached jitted batched sampler for validation/qualitative passes.
 
         Built ONCE per (num_samples, num_steps) and reused across validation
         events — rebuilding re-traces and re-compiles the whole K-step scan
-        every validation_freq steps. Safe to cache because everything the
-        sampler closes over (model, frozen feature weights) is constant for
-        the run; EMA unet params and the trainable-encoder EMA enter as call
-        arguments (`feature_params`)."""
+        every validation_freq steps. Safe to cache because the only thing the
+        sampler closes over (the model definition) is constant for the run;
+        EMA unet params and encoder weights (frozen or trainable-EMA) enter
+        as call arguments (`feature_params`)."""
         key = (num_samples, num_steps)
         if key not in self._samplers:
             fn = self.encoder_apply if self.encoder_apply is not None else self.feature_fn
@@ -551,9 +564,11 @@ class TrainingRun:
                     jax.profiler.start_trace(os.path.join(self.output_path, "profile"))
                     profiling = self._profiling = True
                 if k_step > 1:
-                    self.state, metrics = self.jit_multi_step(self.state, batch, self.rng)
+                    self.state, metrics = self.jit_multi_step(
+                        self.state, batch, self.rng, self._enc_global)
                 else:
-                    self.state, metrics = self.jit_step(self.state, batch, self.rng)
+                    self.state, metrics = self.jit_step(
+                        self.state, batch, self.rng, self._enc_global)
                 pending.append((step0 + total + k_step, metrics))
                 recent_batches.append((step0 + total + k_step, batch))
                 total += k_step

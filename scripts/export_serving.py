@@ -68,8 +68,13 @@ def main():
 
     model = build_model(params, args.classes, image_channels=ci,
                         image_size=min(h, w))
-    feature_fn, feature_shape = build_eval_feature_fn(params, (h, w, ci))
+    feature_fn, feature_shape, enc_params = build_eval_feature_fn(params, (h, w, ci))
     model_params = load_eval_params(params, model, (h, w, ci), feature_shape)
+    if feature_fn is not None:
+        # a serving artifact is self-contained by design: bake the frozen
+        # encoder weights into the exported program (1-arg closure)
+        two_arg, frozen = feature_fn, enc_params
+        feature_fn = lambda img: two_arg(frozen, img)  # noqa: E731
 
     if str(params.get("quantized_inference", "")).lower() == "static":
         from ccdm_tpu.ops import quant
@@ -78,7 +83,7 @@ def main():
                  else np.random.default_rng(0).standard_normal(
                      (2, h, w, ci)).astype(np.float32))
         model = quant.calibrate_static_scales(model, model_params, calib,
-                                              feature_fn=feature_fn)
+                                              feature_fn=feature_fn)  # 1-arg here
         if not args.calib_npy:
             print("WARNING: int8-static calibrated on synthetic images; "
                   "pass --calib-npy with real data for production")

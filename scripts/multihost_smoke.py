@@ -56,6 +56,12 @@ def main() -> None:
     ap.add_argument("--num-processes", type=int, default=2)
     ap.add_argument("--devices-per-process", type=int, default=2)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--mesh-model", type=int, default=1,
+                    help="tensor-parallel axis size; with --devices-per-process"
+                         " 1 the TP collectives cross the host boundary")
+    ap.add_argument("--light", action="store_true",
+                    help="train+validate+save only (TP smoke), skip the eval "
+                         "harness sections")
     args = ap.parse_args()
 
     import jax
@@ -105,6 +111,34 @@ def main() -> None:
     }
 
     from ccdm_tpu.train.trainer import run_train
+
+    if args.light:
+        # TP-across-hosts smoke: shard the model axis over devices owned by
+        # DIFFERENT processes (devices-per-process 1, mesh-model 2), so the
+        # TP all-gathers/reduce-scatters XLA emits ride the cross-host
+        # transport; includes one validation (score broadcast + best-save
+        # barrier over TP-sharded state) and a multihost Orbax save.
+        params = dict(params, mesh={"model": args.mesh_model}, batch_size=4,
+                      steps_per_launch=1, save_freq=2, validation_freq=2,
+                      max_epochs=2,
+                      # wide enough that the TP rule (_TP_MIN_WIDTH=64)
+                      # actually shards the time-embed Dense (4*16=64 wide)
+                      unet_openai=dict(params["unet_openai"], base_channels=16))
+        state = run_train(params, max_steps=2)
+        assert int(state.step) == 2, int(state.step)
+        assert all(bool(jax.numpy.isfinite(x).all())
+                   for x in jax.tree.leaves(state.params))
+        # with 1 device per process, any non-replicated layout necessarily
+        # places model-axis shards on devices of DIFFERENT processes
+        tp_sharded = [
+            x for x in jax.tree.leaves(state.params)
+            if not x.sharding.is_fully_replicated
+        ]
+        assert tp_sharded, "no parameter was TP-sharded over the model axis"
+        if jax.process_index() == 0:
+            print(f"TP_SHARDED_PARAMS {len(tp_sharded)}", flush=True)
+            print("MULTIHOST_OK", flush=True)
+        return
 
     state = run_train(params, max_steps=4)
     assert int(state.step) == 4, int(state.step)

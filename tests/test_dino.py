@@ -72,8 +72,8 @@ def test_dino_conditioned_train_step():
     enc_params = enc.init({"params": jax.random.PRNGKey(0)},
                           jnp.zeros((1, 32, 32, 3)))["params"]
 
-    def feature_fn(images):
-        return jax.lax.stop_gradient(enc.apply({"params": enc_params}, images))
+    def feature_fn(p, images):
+        return jax.lax.stop_gradient(enc.apply({"params": p}, images))
 
     cfg = {
         "beta_schedule": "cosine", "time_steps": 4, "compute_dtype": "float32",
@@ -92,7 +92,7 @@ def test_dino_conditioned_train_step():
         "image": jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3)),
         "x0": jax.nn.one_hot(jax.random.randint(jax.random.PRNGKey(3), (2, 32, 32), 0, 2), 2),
     }
-    new_state, metrics = step(state, batch, jax.random.PRNGKey(4))
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(4), enc_params)
     assert np.isfinite(float(metrics["loss"]))
     assert not bool(metrics["invalid"])
 
