@@ -68,9 +68,11 @@ def make_prob_sampler(model: DenoisingModel, num_samples: int,
     params follow the TP layout rule — multi-chip inference with the same
     call signature (collectives emitted by XLA).
 
-    `feature_fn` weights that CHANGE across calls (a trainable-encoder EMA)
-    must not be closed over — pass a 2-arg `feature_fn(feature_params,
-    images)` and supply `feature_params` at each call instead.
+    `feature_fn` is 2-arg `feature_fn(feature_params, images)` with the
+    weights supplied at each call — for trainable encoders because the EMA
+    changes across calls, and for frozen ones because closed-over weights
+    become HLO constants (a ViT-B/8 exceeds remote-compile request limits).
+    A legacy 1-arg closure still works when `feature_params` is None.
     """
     cfg = SamplerConfig(num_steps=num_steps or model.time_steps,
                         step_T_sample=model.step_T_sample,
