@@ -54,6 +54,7 @@ from ccdm_tpu.train.state import TrainState, create_train_state
 from ccdm_tpu.train.step import make_train_step
 from ccdm_tpu.utils.archive import archive_code
 from ccdm_tpu.utils.logging import setup_logger
+from ccdm_tpu.utils.progress import ProgressLine
 from ccdm_tpu.utils.metrics_log import MetricsLogger
 from ccdm_tpu.utils.visualize import prediction_grid, save_grid
 
@@ -498,17 +499,24 @@ class TrainingRun:
         recent_batches = collections.deque(maxlen=4)
         window_items = 0
         window_t0 = time.perf_counter()
+        # per-iteration progress line (parity: ignite ProgressBar,
+        # `trainer.py:410`) — tty-gated, rate-limited, never syncs the device
+        progress = ProgressLine(
+            enable=self.is_main and bool(p.get("progress_bar", True)))
+        last_drained_loss: Optional[float] = None
 
         def drain(block_all: bool = False):
-            nonlocal window_items, window_t0
+            nonlocal window_items, window_t0, last_drained_loss
             while pending and (block_all or len(pending) > 2):
                 s, m = pending.popleft()
                 if bool(m["invalid"]):
+                    progress.close()
                     LOGGER.error("invalid loss at step %d — saving debug state", s)
                     extras = dict(next((b for bs, b in recent_batches if bs == s), {}))
                     extras["loss"] = m["loss"]
                     self.checkpoints.save_debug(self.state, extras)
                     raise ValueError(f"Invalid loss (nan/inf/neg-KL) at step {s}")
+                last_drained_loss = float(m["loss"])
 
         step0 = int(self.state.step)
         total = 0
@@ -584,8 +592,12 @@ class TrainingRun:
                 def crossed(freq):
                     return (prev // freq) != (step // freq)
 
+                progress.update(epoch=epoch, step=step, steps_per_epoch=spe,
+                                items_done=total * self.batch_size,
+                                loss=last_drained_loss)
                 if crossed(display_freq):
                     drain(block_all=True)
+                    progress.close()
                     loss = float(metrics["loss"])
                     lr = float(metrics.get("lr", 0.0))
                     dt = time.perf_counter() - window_t0
@@ -609,7 +621,9 @@ class TrainingRun:
                     self.checkpoints.save_periodic(self.state)
                 if crossed(validation_freq):
                     drain(block_all=True)
+                    progress.close()
                     self.validate()
+                    progress.reset_rate_window(total * self.batch_size)
                     if self.is_main:
                         try:
                             png = self.save_qualitative()
@@ -623,6 +637,7 @@ class TrainingRun:
                 if self.checkpoints.reached_preemption(step) or (
                         self._sigterm and jax.process_count() == 1):
                     drain(block_all=True)
+                    progress.close()
                     self.checkpoints.save_periodic(self.state)
                     self.checkpoints.wait()
                     LOGGER.warning(
@@ -632,6 +647,7 @@ class TrainingRun:
                     return self.state
                 if max_steps is not None and total >= max_steps:
                     drain(block_all=True)
+                    progress.close()
                     # the early exit is still a run end: persist the final
                     # state (save_freq may never have fired) so a follow-up
                     # eval loads THESE weights, not a stale/absent step
@@ -639,6 +655,7 @@ class TrainingRun:
                     self.checkpoints.wait()
                     return self.state
             drain(block_all=True)
+        progress.close()
         self.checkpoints.save_periodic(self.state)
         self.checkpoints.wait()
         return self.state
