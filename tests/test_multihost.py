@@ -44,7 +44,10 @@ def test_two_process_distributed_train(tmp_path, monkeypatch):
     ]
     try:
         for p in procs:
-            p.wait(timeout=600)
+            # generous: ~530s even on an idle 1-core host (each worker
+            # compiles its own XLA:CPU programs); a loaded host (concurrent
+            # bench/suite runs) has been observed to blow a 600s budget
+            p.wait(timeout=1500)
     finally:
         for p in procs:
             if p.poll() is None:
