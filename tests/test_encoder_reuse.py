@@ -117,3 +117,34 @@ def test_prob_sampler_reuse_plumbing():
                             encoder_reuse=2)(params, cond, jax.random.PRNGKey(3))
     assert out.shape == (2, 2, 16, 16, 2)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_reuse_composes_with_quantized_convs():
+    """encoder_reuse and int8 convs (`quantized_inference`) ship together in
+    bench/eval configs — pin that the composition compiles, that the skip
+    replay stays bit-identical under quantized convs, and that the sampler
+    output is a valid simplex."""
+    model = build_model(dict(PARAMS, quantized_inference=True),
+                        num_classes=2, image_channels=1, image_size=16)
+    params = model.init(jax.random.PRNGKey(0), (16, 16, 1))
+    rng = np.random.default_rng(1)
+    cond = jnp.asarray(rng.standard_normal((2, 16, 16, 1)), jnp.float32)
+    xt = sample_prior(jax.random.PRNGKey(2), 2, 16, 16, 2)
+
+    # bit-identical replay at the same (x, t), through the quantized convs
+    t = jnp.array([3, 3], jnp.int32)
+    full = model.unet.apply({"params": params}, xt, cond, t, return_skips=True)
+    replay = model.unet.apply({"params": params}, xt, cond, t,
+                              cached_skips=full["skips"])
+    np.testing.assert_array_equal(np.asarray(full["diffusion_out"]),
+                                  np.asarray(replay["diffusion_out"]))
+
+    cfg = SamplerConfig(num_steps=4, step_T_sample="confidence",
+                        encoder_reuse=2)
+    pair = model.denoise_fns_cached(params, cond)
+    out = jax.jit(lambda x, k: ancestral_sampler(
+        model.diffusion, model.denoise_fn(params, cond), x, k, cfg,
+        denoise_pair=pair))(xt, jax.random.PRNGKey(11))
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
