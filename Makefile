@@ -1,6 +1,7 @@
 # Developer entry points for ccdm_tpu
 
-.PHONY: test bench bench-train bench-cityscapes smoke demo native clean
+.PHONY: test bench bench-train bench-cityscapes smoke demo native clean \
+	profile-train er-ab bench-flash-bwd
 
 test:
 	python -m pytest tests/ -x -q
@@ -22,6 +23,19 @@ bench-cityscapes:
 # for a quicker run with looser gates. Fails on regression.
 demo:
 	python scripts/demo_gate.py
+
+# train-step breakdown: fwd/bwd/optimizer/EMA ms deltas (PERFNOTES
+# "train-step roofline"); composes with BENCH_REMAT_ATTENTION/BENCH_NORM_FP32
+profile-train:
+	python scripts/profile_train_step.py
+
+# encoder-reuse quality A/B over one checkpoint (ER_LEVELS / ER_CKPT env)
+er-ab:
+	python scripts/encoder_reuse_ab.py
+
+# streaming vs dense flash-attention backward at the engaging geometry
+bench-flash-bwd:
+	python scripts/bench_flash_bwd.py
 
 # end-to-end smoke: tiny synthetic train + eval through the CLIs
 smoke:
