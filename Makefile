@@ -1,7 +1,7 @@
 # Developer entry points for ccdm_tpu
 
-.PHONY: test bench bench-train bench-cityscapes smoke demo native clean \
-	profile-train er-ab bench-flash-bwd
+.PHONY: test bench bench-train bench-cityscapes smoke demo demo-cityscapes \
+	native clean profile-train er-ab bench-flash-bwd
 
 test:
 	python -m pytest tests/ -x -q
@@ -23,6 +23,12 @@ bench-cityscapes:
 # for a quicker run with looser gates. Fails on regression.
 demo:
 	python scripts/demo_gate.py
+
+# quality gate for the OTHER eval family: 20-class learnable synthetic
+# Cityscapes tree -> class-weighted training -> confidence-vote inference ->
+# official re-scoring; fails if official mIoU regresses (CS_STEPS/CS_GATE_MIOU)
+demo-cityscapes:
+	python scripts/cityscapes_gate.py
 
 # train-step breakdown: fwd/bwd/optimizer/EMA ms deltas (PERFNOTES
 # "train-step roofline"); composes with BENCH_REMAT_ATTENTION/BENCH_NORM_FP32

@@ -40,11 +40,13 @@ class SamplerConfig(NamedTuple):
     the argmax one-hot, "confidence" returns the posterior probabilities
     themselves (parity: `diffusion_denoising.py:209-212`).
 
-    `encoder_reuse`: EXPERIMENTAL (beyond the reference, after "Faster
-    Diffusion", arXiv 2312.09608): run the UNet ENCODER only on every R-th
-    step and replay its cached skip activations in between (the decoder
-    always runs with the current step's time embedding and posterior). 1 =
-    off (exact reference semantics). Requires a `denoise_pair` from
+    `encoder_reuse`: beyond the reference (after "Faster Diffusion",
+    arXiv 2312.09608): run the UNet ENCODER only on every R-th step and
+    replay its cached skip activations in between (the decoder always runs
+    with the current step's time embedding and posterior). 1 = off (exact
+    reference semantics). R=2 and R=3 are measured quality-neutral on the
+    demo-gate protocol and +11-17% throughput (PERFNOTES.md round 3); R=2
+    is the shipped eval-config default. Requires a `denoise_pair` from
     `DenoisingModel.denoise_fns_cached`.
     """
 

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Cityscapes-path quality gate (VERDICT r2 #2 stretch): train the 20-class
+config on a LEARNABLE synthetic Cityscapes tree and FAIL (exit 1) if the
+official-protocol mIoU regresses past a pinned threshold.
+
+The LIDC demo gate (scripts/demo_gate.py) covers the multi-annotator
+GED/HM-IoU path; this covers the other evaluation family end-to-end:
+20 train classes -> class-weighted KL (ignore class zeroed) -> mIoU
+validation branch -> CityscapesEvaluator confidence vote -> PNG dumps ->
+official re-scoring (ccdm_tpu/eval/cs_scoring.py). Reference protocol being
+gated: `run_inference` (`evaluation/eval_cdm.py:373-432`) on a
+`datasets.cityscapes`-style tree.
+
+Synthetic task: each image is a Voronoi partition of 3..6 regions; each
+region gets one of 8 evaluated Cityscapes label ids and is painted with the
+class's OFFICIAL color plus Gaussian noise, so segmentation is learnable
+from local color alone and a correctly-wired trainer approaches mIoU 1.0
+quickly. Random-noise trees (tests/conftest.py cityscapes_tree_factory)
+can only smoke-test; this one can regression-test quality.
+
+Threshold: CS_GATE_MIOU (default 0.90) — see PERFNOTES.md "Cityscapes
+quality gate" for the measured TPU value it is pinned under.
+
+Usage:  make demo-cityscapes      (or: python scripts/cityscapes_gate.py)
+        CS_STEPS=300 CS_GATE_MIOU=0.5 python scripts/cityscapes_gate.py
+"""
+
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# 8 evaluated classes spanning 6 categories; colors are the official table's
+LEARNABLE_IDS = (7, 8, 11, 21, 23, 24, 26, 33)
+
+
+def make_learnable_tree(root: str, n_train: int = 24, n_val: int = 8,
+                        size=(64, 128), seed: int = 0) -> str:
+    """Write a leftImg8bit/gtFine tree whose images are class-colored
+    Voronoi regions (+ noise): the label is recoverable from local color."""
+    from PIL import Image
+
+    from ccdm_tpu.data.cityscapes_labels import LABELS
+
+    color_of = {lbl.id: lbl.color for lbl in LABELS}
+    rng = np.random.default_rng(seed)
+    h, w = size
+    yy, xx = np.mgrid[0:h, 0:w]
+    for split, n in (("train", n_train), ("val", n_val)):
+        img_dir = os.path.join(root, "leftImg8bit", split, "synth")
+        gt_dir = os.path.join(root, "gtFine", split, "synth")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(gt_dir, exist_ok=True)
+        for i in range(n):
+            k = int(rng.integers(3, 7))
+            cy = rng.uniform(0, h, size=k)
+            cx = rng.uniform(0, w, size=k)
+            region = np.argmin((yy[..., None] - cy) ** 2
+                               + (xx[..., None] - cx) ** 2, axis=-1)
+            ids_of_region = rng.choice(LEARNABLE_IDS, size=k)
+            label_ids = ids_of_region[region].astype(np.uint8)
+            img = np.zeros((h, w, 3), np.float32)
+            for r_i, v in enumerate(ids_of_region):
+                img[region == r_i] = color_of[int(v)]
+            img += rng.normal(0.0, 12.0, img.shape)
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            Image.fromarray(img).save(
+                os.path.join(img_dir, f"synth{i:03d}_leftImg8bit.png"))
+            Image.fromarray(label_ids).save(
+                os.path.join(gt_dir, f"synth{i:03d}_gtFine_labelIds.png"))
+    return root
+
+
+def main() -> int:
+    steps = int(os.environ.get("CS_STEPS", 6000))
+    gate_miou = float(os.environ.get("CS_GATE_MIOU", 0.90))
+    root = os.environ.get("CS_GATE_ROOT", "/tmp/ccdm_cs_gate")
+    run_dir = os.path.join(root, "run")
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(root):
+        shutil.rmtree(root)  # stale checkpoints would gate old weights
+    make_learnable_tree(data_dir)
+    os.environ["CCDM_CITYSCAPES_PATH"] = data_dir
+
+    tiny = os.environ.get("CS_TINY") == "1"  # CPU test mode
+    time_steps = 3 if tiny else 250
+    unet = ({"base_channels": 8, "channel_mult": [1, 2],
+             "attention_resolutions": [4], "num_head_channels": 4}
+            if tiny else
+            {"base_channels": 32, "channel_mult": [1, 2, 2, 4],
+             "attention_resolutions": [16, 8], "num_heads": 1,
+             "num_head_channels": 32, "softmax_output": True})
+    pipeline = {
+        "dataset_pipeline_train": ["flip", "resize", "torchvision_normalise"],
+        "dataset_pipeline_train_settings": {"target_size": [64, 128]},
+        "dataset_pipeline_val": ["resize", "torchvision_normalise"],
+        "dataset_pipeline_val_settings": {"target_size": [64, 128]},
+    }
+    train_params = {
+        "output_path": run_dir,
+        "dataset_file": "ccdm_tpu.data.cityscapes",
+        "unet_openai": unet,
+        **pipeline,
+        "dataset_val_max_size": 8,
+        "batch_size": 8,
+        "max_epochs": 10 ** 6,
+        "time_steps": time_steps,
+        "beta_schedule": "cosine",
+        "beta_schedule_params": {"s": 0.008},
+        "polyak_alpha": 0.999,
+        "compute_dtype": "float32" if tiny else "bfloat16",
+        "optim": {"name": "Adam", "learning_rate": 2e-4,
+                  "lr_function": "polynomial",
+                  "lr_params": {"power": 1.0, "min_lr": 1e-6},
+                  "epochs": max(1, steps // 3)},
+        "display_freq": 200,
+        "save_freq": 1000,
+        "validation_freq": 1000,
+        "validation_max_batches": 1,
+        "n_validation_images": 1,
+        "n_validation_predictions": 1,
+        "steps_per_launch": 1 if tiny else 2,
+        "seed": 0,
+    }
+
+    from ccdm_tpu.train.trainer import run_train
+
+    state = run_train(train_params, max_steps=steps)
+    if int(state.step) < steps:
+        # a SIGTERM (e.g. `timeout`) triggers graceful preemption: the
+        # trainer checkpoints and returns early rather than dying — gating
+        # a partially-trained model would report a bogus regression
+        print(f"[cs-gate] ABORT: training preempted at step {int(state.step)}"
+              f" < {steps}; no quality verdict")
+        return 2
+
+    from ccdm_tpu.eval.cityscapes_eval import run_inference
+
+    eval_params = {
+        "output_path": os.path.join(root, "eval"),
+        "dataset_file": "ccdm_tpu.data.cityscapes",
+        **{k: v for k, v in pipeline.items() if "val" in k},
+        "dataset_val_max_size": 8,
+        "batch_size": 4,
+        "time_steps": time_steps,
+        "beta_schedule": "cosine",
+        "beta_schedule_params": {"s": 0.008},
+        "polyak_alpha": 0.999,
+        "compute_dtype": train_params["compute_dtype"],
+        "unet_openai": unet,
+        "evaluation": {"resolution": "dataloader", "evaluations": 2,
+                       "evaluation_vote_strategy": "confidence"},
+        "load_from": run_dir,
+        "seed": 0,
+    }
+    res = run_inference(eval_params)
+    official = res["official"]["averageScoreClasses"]
+    summary = {"steps": steps, "gate_miou": gate_miou,
+               "mIoU_trainid_cm": float(res["mIoU"]),
+               "mIoU_official": float(official)}
+    out = os.path.join(root, "cityscapes_gate.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"[cs-gate] official class mIoU = {official:.4f} "
+          f"(train-id CM {res['mIoU']:.4f}), gate >= {gate_miou} -> {out}")
+    if not (official >= gate_miou and res["mIoU"] >= gate_miou):
+        print("[cs-gate] QUALITY REGRESSION on the cityscapes eval path")
+        return 1
+    print("[cs-gate] cityscapes quality gate passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

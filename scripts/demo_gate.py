@@ -5,9 +5,10 @@ FAIL (exit 1) if distributional quality regresses past pinned thresholds.
 Protocol = TRAINING_DEMO.md's extended run (reference protocol:
 `evaluate_lidc_uncertainty.py` + in-training GED validation,
 `ddpm/trainer.py:521-538`): 5000 train steps, then the 16-sample uncertainty
-eval on the fixed-seed synthetic test split — run in BOTH driver-visible
-inference modes (float parity path AND `quantized_inference: static`, the
-bench.py headline mode) on the same checkpoint.
+eval on the fixed-seed synthetic test split — run in ALL driver-visible
+inference modes (float parity path, `quantized_inference: static`, and the
+bench.py headline combination int8-static + `encoder_reuse: 2`) on the
+same checkpoint.
 
 Thresholds are noise-derived (VERDICT r2 #4): measured over 3 training seeds
 on TPU v5e this round (see TRAINING_DEMO.md for the table), pinned at the
@@ -70,8 +71,13 @@ def run_one_seed(seed: int, steps: int, gates: dict) -> dict:
 
     per_mode = {}
     failures = []
+    # three driver-visible inference modes: the float parity path, the
+    # calibrated-int8 path, and the bench.py headline combination
+    # (int8-static + encoder_reuse 2 — PERFNOTES.md round-3 ship decision)
     for mode, extra in (("float", {}),
-                        ("int8-static", {"quantized_inference": "static"})):
+                        ("int8-static", {"quantized_inference": "static"}),
+                        ("int8+er2", {"quantized_inference": "static",
+                                      "encoder_reuse": 2})):
         results = eval_lidc_uncertainty(dict(eval_params, **extra))
         results["dice_nodule"] = results["Dice"][1]
         per_mode[mode] = {k: float(results[k]) for k in gates}
@@ -104,7 +110,7 @@ def main() -> int:
     if len(seeds) > 1:
         print(f"[demo-gate] seed spread over {seeds} "
               "(use to justify the pinned thresholds):")
-        for mode in ("float", "int8-static"):
+        for mode in ("float", "int8-static", "int8+er2"):
             for key in gates:
                 vals = [runs[s][mode][key] for s in seeds]
                 mean = sum(vals) / len(vals)

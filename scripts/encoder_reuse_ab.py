@@ -37,7 +37,7 @@ def main() -> int:
     if os.environ.get("ER_CKPT"):
         eval_params["load_from"] = os.environ["ER_CKPT"]
 
-    keys = ("GED_2", "GED_16", "HMIoU_2", "HMIoU_16", "mIoU")
+    keys = ("GED_4", "GED_16", "HMIoU_4", "HMIoU_16", "mIoU")
     rows = []
     for mode, extra in (("float", {}),
                         ("int8-static", {"quantized_inference": "static"})):
