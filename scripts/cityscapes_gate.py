@@ -18,11 +18,18 @@ from local color alone and a correctly-wired trainer approaches mIoU 1.0
 quickly. Random-noise trees (tests/conftest.py cityscapes_tree_factory)
 can only smoke-test; this one can regression-test quality.
 
-Threshold: CS_GATE_MIOU (default 0.90) — see PERFNOTES.md "Cityscapes
-quality gate" for the measured TPU value it is pinned under.
+Threshold: CS_GATE_MIOU — pinned from a 3-seed TPU measurement at the
+default CS_STEPS (PERFNOTES.md round 4 "Cityscapes quality gate", written
+by `CS_SEEDS=0,1,2 python scripts/cityscapes_gate.py`), using the repo's
+gate rule: worst seed padded outward by >=0.6x the seed spread. Note the
+structural cap on this tree: only 8 of 19 eval classes appear, so a single
+stray predicted pixel of an absent class adds one IoU-0 class to the
+official mean and caps it at 8/9 of the present-class average — the
+measured threshold must (and does) sit below that cap.
 
 Usage:  make demo-cityscapes      (or: python scripts/cityscapes_gate.py)
         CS_STEPS=300 CS_GATE_MIOU=0.5 python scripts/cityscapes_gate.py
+        CS_SEEDS=0,1,2 python scripts/cityscapes_gate.py   # pinning run
 """
 
 import json
@@ -77,9 +84,29 @@ def make_learnable_tree(root: str, n_train: int = 24, n_val: int = 8,
 
 
 def main() -> int:
+    seeds = [int(s) for s in os.environ.get("CS_SEEDS", "0").split(",")]
+    results = [run_one_seed(s) for s in seeds]
+    if any(r is None for r in results):
+        return 2  # preempted — no quality verdict
+    if len(results) > 1:
+        for key in ("mIoU_official", "mIoU_trainid_cm"):
+            vals = [r[key] for r in results]
+            print(f"[cs-gate] {key}: mean {np.mean(vals):.4f} "
+                  f"[{min(vals):.4f}, {max(vals):.4f}] over seeds {seeds}")
+    gate_miou = results[0]["gate_miou"]
+    worst = min(min(r["mIoU_official"], r["mIoU_trainid_cm"]) for r in results)
+    if worst < gate_miou:
+        print("[cs-gate] QUALITY REGRESSION on the cityscapes eval path")
+        return 1
+    print("[cs-gate] cityscapes quality gate passed")
+    return 0
+
+
+def run_one_seed(seed: int) -> dict | None:
     steps = int(os.environ.get("CS_STEPS", 6000))
-    gate_miou = float(os.environ.get("CS_GATE_MIOU", 0.90))
-    root = os.environ.get("CS_GATE_ROOT", "/tmp/ccdm_cs_gate")
+    gate_miou = float(os.environ.get("CS_GATE_MIOU", 0.85))
+    root = os.environ.get("CS_GATE_ROOT", "/tmp/ccdm_cs_gate") + (
+        f"_s{seed}" if seed else "")
     run_dir = os.path.join(root, "run")
     data_dir = os.path.join(root, "data")
     if os.path.isdir(root):
@@ -125,7 +152,7 @@ def main() -> int:
         "n_validation_images": 1,
         "n_validation_predictions": 1,
         "steps_per_launch": 1 if tiny else 2,
-        "seed": 0,
+        "seed": seed,
     }
 
     from ccdm_tpu.train.trainer import run_train
@@ -137,7 +164,7 @@ def main() -> int:
         # a partially-trained model would report a bogus regression
         print(f"[cs-gate] ABORT: training preempted at step {int(state.step)}"
               f" < {steps}; no quality verdict")
-        return 2
+        return None
 
     from ccdm_tpu.eval.cityscapes_eval import run_inference
 
@@ -156,23 +183,19 @@ def main() -> int:
         "evaluation": {"resolution": "dataloader", "evaluations": 2,
                        "evaluation_vote_strategy": "confidence"},
         "load_from": run_dir,
-        "seed": 0,
+        "seed": seed,
     }
     res = run_inference(eval_params)
     official = res["official"]["averageScoreClasses"]
-    summary = {"steps": steps, "gate_miou": gate_miou,
+    summary = {"steps": steps, "seed": seed, "gate_miou": gate_miou,
                "mIoU_trainid_cm": float(res["mIoU"]),
                "mIoU_official": float(official)}
     out = os.path.join(root, "cityscapes_gate.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=2)
-    print(f"[cs-gate] official class mIoU = {official:.4f} "
+    print(f"[cs-gate] seed {seed}: official class mIoU = {official:.4f} "
           f"(train-id CM {res['mIoU']:.4f}), gate >= {gate_miou} -> {out}")
-    if not (official >= gate_miou and res["mIoU"] >= gate_miou):
-        print("[cs-gate] QUALITY REGRESSION on the cityscapes eval path")
-        return 1
-    print("[cs-gate] cityscapes quality gate passed")
-    return 0
+    return summary
 
 
 if __name__ == "__main__":

@@ -53,6 +53,15 @@ def install():
             self._metrics = {}
             self.state = _State()
 
+        def on(self, _event, *a, **kw):
+            # event-handler registration decorator; the reference's handlers
+            # on the certified eval paths only LOG (`eval_cdm.py:350-368`) —
+            # the certification reads the driver's returned/written results,
+            # so handlers are accepted and dropped
+            def deco(fn):
+                return fn
+            return deco
+
         def run(self, loader, max_epochs=1):
             for m in self._metrics.values():
                 m.reset()
@@ -100,7 +109,14 @@ def install():
             ).reshape(self.num_classes, self.num_classes)
 
         def compute(self):
-            return self.matrix
+            # `.cuda()` must be a no-op in this CUDA-less container:
+            # `eval_cdm.py:420` calls `.cuda()` on the computed matrix for an
+            # (unasserted, printed) cross-check against Evaluator.cm
+            class _CpuOkTensor(torch.Tensor):
+                def cuda(self, *a, **kw):
+                    return self
+
+            return self.matrix.as_subclass(_CpuOkTensor)
 
         def attach(self, engine, name):
             engine._metrics[name] = self
@@ -255,3 +271,35 @@ def install():
     tv.transforms = tvt
     tv.utils = tvu
     tv.datasets = tvd
+
+
+def install_cityscapesscripts():
+    """Shim the external `cityscapesscripts` pip package for `cs_eval.py`.
+
+    The reference's vendored official scorer imports three things from it
+    (`cs_eval.py:19,43-44`): the optional Cython `addToConfusionMatrix`
+    (guarded by try/except — leaving it missing engages the reference's own
+    NumPy fallback), the label table (`labels`, `name2label`, ... — the
+    reference VENDORS the identical official table at `evaluation/labels.py`,
+    so the shim re-exports that), and `Annotation` (imported at `:43`, never
+    used). Call AFTER /root/reference is on sys.path.
+    """
+    if "cityscapesscripts" in sys.modules:
+        return
+    import importlib
+
+    vendored = importlib.import_module("evaluation.labels")
+
+    root = _module("cityscapesscripts")
+    helpers = _module("cityscapesscripts.helpers")
+    ann = _module("cityscapesscripts.helpers.annotation")
+    ann.Annotation = type("Annotation", (), {})  # imported, never used
+    lbl = _module("cityscapesscripts.helpers.labels")
+    for name in ("labels", "name2label", "id2label", "trainId2label",
+                 "category2labels"):
+        setattr(lbl, name, getattr(vendored, name))
+    helpers.annotation = ann
+    helpers.labels = lbl
+    root.helpers = helpers
+    # NOTE: no `cityscapesscripts.evaluation` submodule on purpose — the
+    # Cython fast-path import fails and cs_eval.py's NumPy fallback runs

@@ -2,8 +2,11 @@
 learnable synthetic tree is well-formed, and the tiny end-to-end gate run
 (train -> CityscapesEvaluator -> official scoring) executes on CPU.
 
-The real gate (mIoU >= pinned threshold at 2000 steps) runs on TPU via
-`make demo-cityscapes`; this keeps its machinery covered in CI.
+The real gate (mIoU >= the pinned CS_GATE_MIOU threshold at the default
+CS_STEPS=6000) runs on TPU via `make demo-cityscapes`; this keeps its
+machinery covered in CI. Earlier failure mode covered here: this test ran
+the whole suite's slowest subprocess — it gets a 900s timeout because a
+loaded 1-core host can push the tiny run past 10 minutes.
 """
 
 import os
