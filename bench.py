@@ -227,8 +227,12 @@ def main_cityscapes():
     from ccdm_tpu.models.builder import build_model
     from ccdm_tpu.parallel.mesh import mesh_for_eval
 
-    num_images = int(os.environ.get("BENCH_IMAGES", 1 if fallback else 2))
-    num_samples = int(os.environ.get("BENCH_SAMPLES", 2 if fallback else 4))
+    # 16 x 8 = 128 segmentations in flight: the measured knee of the round-4
+    # batch-scaling sweep (PERFNOTES "Cityscapes batch scaling": 8 -> 0.75,
+    # 64 -> 1.40, 128 -> 2.36, 256 -> 2.27 samples/s/chip) — the flash-attn
+    # kernel removed the T x T HBM blocker precisely to allow this
+    num_images = int(os.environ.get("BENCH_IMAGES", 1 if fallback else 16))
+    num_samples = int(os.environ.get("BENCH_SAMPLES", 2 if fallback else 8))
     num_steps = int(os.environ.get("BENCH_STEPS", 250))
     reps = int(os.environ.get("BENCH_REPS", 1 if fallback else 3))
     measured_steps = int(os.environ.get("BENCH_MEASURED_STEPS",
