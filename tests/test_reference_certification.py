@@ -16,6 +16,7 @@ import os
 import re
 import sys
 import types
+from contextlib import contextmanager
 
 import numpy as np
 import pytest
@@ -25,7 +26,10 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REFERENCE), reason="reference repo not mounted")
 
 RESOLUTION = 32
-N_TEST = 4
+N_TEST = 12
+# our side is averaged over independent sampling chains to shrink the
+# ancestral-sampling noise the certification bands must absorb (VERDICT r3 #5)
+OUR_EVAL_SEEDS = (3, 4, 5)
 EVALUATIONS = [2, 4, 8, 16]  # the reference driver logs exactly 4 entries
 TRAIN_PARAMS = {
     "dataset_file": "ccdm_tpu.data.synthetic",
@@ -47,8 +51,9 @@ TRAIN_PARAMS = {
 }
 
 
-@pytest.fixture(scope="module")
-def tiny_synthetic():
+@contextmanager
+def patched_synthetic():
+    """Pin the synthetic dataset module to the certification geometry."""
     import ccdm_tpu.data.synthetic as syn
 
     orig = (syn.training_dataset, syn.validation_dataset, syn.test_dataset)
@@ -58,16 +63,19 @@ def tiny_synthetic():
         n=2, resolution=RESOLUTION)
     syn.test_dataset = lambda max_size=None, indices=None: syn.synthetic_test_dataset(
         n=N_TEST, resolution=RESOLUTION)
-    yield
-    syn.training_dataset, syn.validation_dataset, syn.test_dataset = orig
+    try:
+        yield
+    finally:
+        syn.training_dataset, syn.validation_dataset, syn.test_dataset = orig
 
 
-@pytest.fixture(scope="module")
-def reference_on_path():
+def install_reference_path() -> None:
+    """Make /root/reference importable (idempotent)."""
     import reference_stubs
 
     reference_stubs.install()  # ignite/wandb/torchvision/timm import shims
-    sys.path.insert(0, REFERENCE)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
     # namespace package bypassing ddpm/__init__.py (it imports the full
     # trainer surface; same trick as test_torch_parity.py)
     if "ddpm" not in sys.modules:
@@ -79,6 +87,17 @@ def reference_on_path():
     if "datasets" in sys.modules and not getattr(
             sys.modules["datasets"], "__file__", "").startswith(REFERENCE):
         del sys.modules["datasets"]
+
+
+@pytest.fixture(scope="module")
+def tiny_synthetic():
+    with patched_synthetic():
+        yield
+
+
+@pytest.fixture(scope="module")
+def reference_on_path():
+    install_reference_path()
     yield
     sys.path.remove(REFERENCE)
 
@@ -108,29 +127,55 @@ def _torch_dataset_module():
     return mod
 
 
-@pytest.fixture(scope="module")
-def trained_run(tmp_path_factory, tiny_synthetic):
-    """Train a small model here; return (run_dir, our-eval results)."""
-    from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
+def train_certification_checkpoint(out_dir: str) -> None:
     from ccdm_tpu.train.trainer import run_train
 
-    out = tmp_path_factory.mktemp("cert_run")
-    params = dict(TRAIN_PARAMS, output_path=str(out))
+    params = dict(TRAIN_PARAMS, output_path=out_dir)
     run_train(params, max_steps=300)
 
-    ours = eval_lidc_uncertainty(dict(
-        TRAIN_PARAMS, load_from=str(out), evaluations=EVALUATIONS,
+
+def our_eval(run_dir: str, seed: int) -> dict:
+    from ccdm_tpu.eval.lidc_uncertainty import eval_lidc_uncertainty
+
+    return eval_lidc_uncertainty(dict(
+        TRAIN_PARAMS, load_from=run_dir, evaluations=EVALUATIONS,
         evaluation_vote_strategy="confidence", dataset_val_max_size=N_TEST,
-        batch_size=2, seed=3))
+        batch_size=2, seed=seed))
+
+
+def mean_metrics(runs: list) -> dict:
+    mean = {}
+    for s in EVALUATIONS:
+        mean[f"GED_{s}"] = float(np.mean([r[f"GED_{s}"] for r in runs]))
+        mean[f"HMIoU_{s}"] = float(np.mean([r[f"HMIoU_{s}"] for r in runs]))
+    mean["Dice"] = [float(np.mean([r["Dice"][c] for r in runs]))
+                    for c in range(2)]
+    mean["mIoU"] = float(np.mean([r["mIoU"] for r in runs]))
+    return mean
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory, tiny_synthetic):
+    """Train a small model here; return (run_dir, seed-averaged our-eval)."""
+    out = tmp_path_factory.mktemp("cert_run")
+    train_certification_checkpoint(str(out))
+    ours = mean_metrics([our_eval(str(out), s) for s in OUR_EVAL_SEEDS])
     return str(out), ours
 
 
-def _run_reference_eval(pt_path, caplog):
+def run_reference_eval(pt_path, torch_seed: int = 0):
     """Execute the reference's own `eval_lidc_uncertainty` driver and parse
     the metrics it logs (the driver returns nothing — its numbers only exist
     as log lines, `evaluate_lidc_uncertainty.py:205-216`)."""
+    import torch
+
     sys.modules["synthetic_lidc_ref"] = _torch_dataset_module()
     from evaluation.evaluate_lidc_uncertainty import eval_lidc_uncertainty
+
+    # the reference seeds in ddpm_eval.main (`ddpm_eval.py:15-25`), not in
+    # the driver itself — replicate that here so chains are reproducible
+    torch.manual_seed(torch_seed)
+    np.random.seed(torch_seed)
 
     ref_params = {
         "dataset_file": "synthetic_lidc_ref",
@@ -150,10 +195,22 @@ def _run_reference_eval(pt_path, caplog):
         "multigpu": False,
         "load_from": pt_path,
     }
-    with caplog.at_level(logging.INFO):
+    # plain log capture (instead of pytest caplog) so the calibration
+    # script (scripts/calibrate_certification_bands.py) can reuse this
+    records: list = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    root = logging.getLogger()
+    old_level = root.level
+    root.addHandler(handler)
+    root.setLevel(logging.INFO)
+    try:
         eval_lidc_uncertainty(ref_params)
+    finally:
+        root.removeHandler(handler)
+        root.setLevel(old_level)
 
-    text = "\n".join(r.getMessage() for r in caplog.records)
+    text = "\n".join(records)
     metrics = {}
     for s in EVALUATIONS:
         m = re.search(rf"GED \({s}\): ([\d.eE+-]+)", text)
@@ -167,15 +224,11 @@ def _run_reference_eval(pt_path, caplog):
     return metrics
 
 
-def test_reference_harness_scores_our_checkpoint(trained_run, reference_on_path,
-                                                 tmp_path, caplog):
+def export_checkpoint(run_dir: str, pt_path: str) -> None:
+    """Export through the real CLI so the certified path is the shipped one."""
     import subprocess
 
-    run_dir, ours = trained_run
-
-    pt_path = str(tmp_path / "exported.pt")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # export through the real CLI so the certified path is the shipped one
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts/export_torch_checkpoint.py"),
          run_dir, pt_path],
@@ -184,27 +237,42 @@ def test_reference_harness_scores_our_checkpoint(trained_run, reference_on_path,
     assert res.returncode == 0, res.stderr
     assert os.path.exists(pt_path)
 
-    theirs = _run_reference_eval(pt_path, caplog)
+
+def test_reference_harness_scores_our_checkpoint(trained_run, reference_on_path,
+                                                 tmp_path):
+    run_dir, ours = trained_run
+
+    pt_path = str(tmp_path / "exported.pt")
+    export_checkpoint(run_dir, pt_path)
+
+    theirs = run_reference_eval(pt_path)
 
     # Same trained weights, same test images, independent sampling chains
     # (different PRNGs): agreement within ancestral-sampling noise. Bands
-    # were calibrated by re-running OUR harness on one fixed checkpoint with
-    # 3 eval seeds (4 images): GED_2 spread 0.23-0.60, HMIoU_2 0.42-0.68,
-    # Dice[1] 0.62-0.73 — the low-sample-count metrics are dominated by which
-    # chains get drawn, so only the S>=8 metrics are compared tightly. A
-    # broken export is FAR outside every band: random weights score
+    # re-calibrated for round 4 (VERDICT r3 #5) by
+    # scripts/calibrate_certification_bands.py at N_TEST=12 with our side
+    # averaged over OUR_EVAL_SEEDS and the reference run at 3 torch seeds:
+    # max |mean(ours) - theirs(seed_i)| was GED_8 0.049, GED_16 0.012,
+    # HMIoU_8 0.038, HMIoU_16 0.024, GED_4 0.057, HMIoU_4 0.048,
+    # Dice[1] 0.011, mIoU 0.008 — each band below is ~2x (or more) that
+    # measured noise, tight enough that a one-step schedule off-by-one
+    # (moves GED by ~0.05) now fails. S=2 stays sanity-only: it is
+    # dominated by which two chains get drawn (measured diff up to 0.13).
+    # A broken export is FAR outside every band: random weights score
     # GED(16) ~1.5 and nodule Dice ~0.1 on this data.
-    for s in (8, 16):
-        assert abs(ours[f"GED_{s}"] - theirs[f"GED_{s}"]) < 0.20, (
+    BANDS = {"GED_4": 0.12, "GED_8": 0.08, "GED_16": 0.05,
+             "HMIoU_4": 0.12, "HMIoU_8": 0.08, "HMIoU_16": 0.06}
+    for s in (4, 8, 16):
+        assert abs(ours[f"GED_{s}"] - theirs[f"GED_{s}"]) < BANDS[f"GED_{s}"], (
             s, ours[f"GED_{s}"], theirs[f"GED_{s}"])
-        assert abs(ours[f"HMIoU_{s}"] - theirs[f"HMIoU_{s}"]) < 0.20, (
+        assert abs(ours[f"HMIoU_{s}"] - theirs[f"HMIoU_{s}"]) < BANDS[f"HMIoU_{s}"], (
             s, ours[f"HMIoU_{s}"], theirs[f"HMIoU_{s}"])
-    for s in (2, 4):  # sanity only: both sides far from the random regime
-        assert ours[f"GED_{s}"] < 0.9 and theirs[f"GED_{s}"] < 0.9, (
-            s, ours[f"GED_{s}"], theirs[f"GED_{s}"])
-    assert abs(ours["Dice"][1] - theirs["Dice"][1]) < 0.25, (
+    # sanity only at S=2: both sides far from the random regime
+    assert ours["GED_2"] < 0.9 and theirs["GED_2"] < 0.9, (
+        ours["GED_2"], theirs["GED_2"])
+    assert abs(ours["Dice"][1] - theirs["Dice"][1]) < 0.04, (
         ours["Dice"], theirs["Dice"])
     assert ours["Dice"][1] > 0.5 and theirs["Dice"][1] > 0.5, (
         ours["Dice"], theirs["Dice"])
-    assert abs(ours["mIoU"] - theirs["mIoU"]) < 0.20, (
+    assert abs(ours["mIoU"] - theirs["mIoU"]) < 0.03, (
         ours["mIoU"], theirs["mIoU"])
