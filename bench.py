@@ -237,7 +237,11 @@ def main_cityscapes():
     reps = int(os.environ.get("BENCH_REPS", 1 if fallback else 3))
     measured_steps = int(os.environ.get("BENCH_MEASURED_STEPS",
                                         2 if fallback else num_steps))
-    int8_mode = os.environ.get("BENCH_INT8", "0" if fallback else "static")
+    # float by default: int8-static was measured -43% at this geometry in
+    # round 3 (PERFNOTES "Cityscapes 256x512 + DINO ViT-B/8 headline") and
+    # the recorded headline mode is float; BENCH_INT8=static re-measures it
+    int8_mode = os.environ.get("BENCH_INT8", "0")
+    enc_reuse = int(os.environ.get("BENCH_ENCODER_REUSE", 1))
     h, w, c = 256, 512, 20
 
     cfg = dict(CITYSCAPES_BENCH_PARAMS)
@@ -282,7 +286,8 @@ def main_cityscapes():
         sampler_feature_fn = feature_fn
         sampler_feature_params = enc_params
     sampler = make_prob_sampler(model, num_samples, measured_steps, mesh=mesh,
-                                feature_fn=sampler_feature_fn)
+                                feature_fn=sampler_feature_fn,
+                                encoder_reuse=enc_reuse)
 
     # warmup/compile + readback
     float(jnp.sum(sampler(params, images, key,
@@ -320,6 +325,7 @@ def main_cityscapes():
             "steps": num_steps, "resolution": [h, w], "classes": c,
             "reps": reps, "feature_cond": "dino_vitb8@stride8",
             "quantized_inference": {"static": "int8-static", "1": "int8-dynamic"}.get(int8_mode, "off"),
+            "encoder_reuse": enc_reuse,
             "backend": ("cpu-fallback (TPU tunnel unreachable; "
                         "baseline is torch-cpu on this host)"
                         if fallback else jax.default_backend()),
