@@ -12,7 +12,10 @@ votes, PERFNOTES round-4 "Cityscapes batch scaling"), reporting ms/step,
 the UNet forward's cost analysis, and the implied HBM roofline fraction.
 
 Used to decide kernel-fusion work (PERFNOTES.md). Run alone: one JAX process
-at a time through the TPU tunnel.
+at a time through the TPU tunnel, AND on an otherwise idle host — a loaded
+host starves the tunnel client thread and inflates scan timings (measured:
+the same B=128 scan read 424 ms/step under a concurrent pytest run vs
+216 ms/step idle, a clean 2x lie).
 """
 
 import os
@@ -123,12 +126,14 @@ def main_cityscapes():
     images = jnp.asarray(rng.standard_normal((num_images, h, w, 3)).astype(np.float32))
     key = jax.random.PRNGKey(1)
 
-    # DINO features once (fixed per-call cost, timed separately)
+    # DINO features once (fixed per-call cost, timed separately); the value
+    # readback forces real completion — through the tunnel,
+    # block_until_ready returns optimistically (PERFNOTES round-1 lever #3)
     feat_jit = jax.jit(feature_fn)
     feats = feat_jit(enc_params, images)
-    feats.block_until_ready()
+    float(jnp.sum(feats))
     t0 = time.perf_counter()
-    feat_jit(enc_params, images).block_until_ready()
+    float(jnp.sum(feat_jit(enc_params, images)))
     enc_dt = time.perf_counter() - t0
     print(f"dino vitb8 encoder: {enc_dt*1e3:.1f} ms/call "
           f"(once per {num_images}-image protocol call)")
