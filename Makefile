@@ -1,9 +1,16 @@
 # Developer entry points for ccdm_tpu
 
-.PHONY: test bench bench-train bench-cityscapes smoke demo demo-cityscapes \
-	native clean profile-train er-ab bench-flash-bwd
+.PHONY: test test-full bench bench-train bench-cityscapes smoke demo \
+	demo-cityscapes native clean profile-train er-ab bench-flash-bwd
 
+# fast tier (<10 min): everything except the reference-certification loops
+# and the 2-process multihost runs, which together dominate the full suite
+# (~45 of 55 min — see STATUS.md "Test suite")
 test:
+	python -m pytest tests/ -x -q -m "not certification"
+
+# the whole suite, certification tier included (~55 min on this host)
+test-full:
 	python -m pytest tests/ -x -q
 
 bench:

@@ -32,6 +32,10 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from bench import _await_backend, _resolve_backend
+
+    _resolve_backend()
+    _await_backend()
 
     from __graft_entry__ import FLAGSHIP_PARAMS
     from ccdm_tpu.eval.lidc_uncertainty import make_prob_sampler
@@ -104,6 +108,13 @@ def main_cityscapes():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Same fail-fast backend probe + init watchdog as bench.py: the first
+    # device touch through the axon tunnel can otherwise hang for hours
+    # when the chip claim retries in a sleep loop (ADVICE r4 low #3).
+    from bench import _await_backend, _resolve_backend
+
+    _resolve_backend()
+    _await_backend()
 
     from bench import CITYSCAPES_BENCH_PARAMS
     from ccdm_tpu.eval.lidc_uncertainty import build_eval_feature_fn, make_prob_sampler
@@ -185,8 +196,8 @@ def main_cityscapes():
     t_hbm = byts / 819e9
     print(f"  speed-of-light: MXU-bound {t_mxu*1e3:.2f} ms vs HBM-bound "
           f"{t_hbm*1e3:.2f} ms -> {'HBM' if t_hbm > t_mxu else 'MXU'}-limited; "
-          f"measured step / max(bound) = "
-          f"{max(t_mxu, t_hbm)*1e3 / ms_step * 100:.0f}% of roofline "
+          f"fraction of roofline achieved (max(bound) / measured step) = "
+          f"{max(t_mxu, t_hbm)*1e3 / ms_step * 100:.0f}% "
           f"(step also includes posterior+sampling)")
 
     pdir = os.environ.get("PROFILE_DIR")

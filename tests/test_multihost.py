@@ -16,6 +16,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "scripts", "multihost_smoke.py")
 
+# slow tier (two processes x compile-per-process): `make test-full`
+pytestmark = pytest.mark.certification
+
 
 def _free_port() -> int:
     with socket.socket() as s:

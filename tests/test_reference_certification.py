@@ -22,8 +22,11 @@ import numpy as np
 import pytest
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference repo not mounted")
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE), reason="reference repo not mounted"),
+    pytest.mark.certification,  # slow tier: `make test-full` (VERDICT r4 #6)
+]
 
 RESOLUTION = 32
 N_TEST = 12

@@ -37,8 +37,11 @@ import numpy as np
 import pytest
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference repo not mounted")
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE), reason="reference repo not mounted"),
+    pytest.mark.certification,  # slow tier: `make test-full` (VERDICT r4 #6)
+]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SIZE = (32, 64)  # H, W
