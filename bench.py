@@ -275,12 +275,16 @@ def main_cityscapes():
         # extrapolating a short scan would multiply it by num_steps /
         # measured_steps. Time it separately, run the scan on precomputed
         # features, and recombine analytically below.
+        # value readbacks, not block_until_ready: through the axon tunnel
+        # block_until_ready can return optimistically (PERFNOTES.md) and
+        # this timing once read 0.2 ms for a measured-284 ms encoder call
         feat_jit = jax.jit(feature_fn)
         feats = feat_jit(enc_params, images)
-        feats.block_until_ready()
+        float(jnp.sum(feats))
         t0 = time.perf_counter()
-        feat_jit(enc_params, images).block_until_ready()
+        float(jnp.sum(feat_jit(enc_params, images)))
         enc_time = time.perf_counter() - t0
+        feats = feat_jit(enc_params, images)
         # feats are still a runtime ARGUMENT (threaded through the 2-arg
         # protocol), not a baked constant
         sampler_feature_fn = lambda f, img: f  # noqa: E731

@@ -7,6 +7,7 @@ from ccdm_tpu.diffusion.categorical import (
     theta_post_prob_naive,
     categorical_kl,
     sample_categorical,
+    sample_categorical_icdf,
     sample_onehot,
     max_prob_onehot,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "theta_post_prob_naive",
     "categorical_kl",
     "sample_categorical",
+    "sample_categorical_icdf",
     "sample_onehot",
     "max_prob_onehot",
     "SamplerConfig",

@@ -164,6 +164,26 @@ def sample_onehot(key: jax.Array, probs: jnp.ndarray, eps: float = 1e-12) -> jnp
     return jax.nn.one_hot(idx, probs.shape[-1], dtype=jnp.float32)
 
 
+def sample_categorical_icdf(key: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF categorical draw over the trailing axis -> int32 indices.
+
+    Same distribution as `sample_categorical` but via the classical
+    inverse-CDF method (the family `torch.multinomial` uses): ONE uniform
+    per outcome instead of one Gumbel per class element. On TPU this
+    removes two transcendental ops (log/neg-log) per class element and
+    divides RNG volume by C — at the Cityscapes geometry
+    ([128,256,512,20]) the Gumbel draw alone cost ~34 ms/step while this
+    form fuses into the posterior chain (PERFNOTES round 5). `probs` need
+    not be normalised: the draw targets `u * sum(probs)`.
+    """
+    p = probs.astype(jnp.float32)
+    cdf = jnp.cumsum(p, axis=-1)
+    u = jax.random.uniform(key, probs.shape[:-1], dtype=jnp.float32)
+    target = u[..., None] * cdf[..., -1:]
+    idx = jnp.sum((cdf <= target).astype(jnp.int32), axis=-1)
+    return jnp.minimum(idx, probs.shape[-1] - 1)
+
+
 def max_prob_onehot(probs: jnp.ndarray) -> jnp.ndarray:
     """Argmax one-hot ("majority" vote).
 

@@ -6,6 +6,17 @@ loop is a single `lax.scan`: one compilation, weights stay resident in HBM,
 per-step categorical sampling / posterior math / final argmax all fuse
 on-device, and the host is only touched once at the end.
 
+TPU-native state layout (round 5, PERFNOTES "Cityscapes sampler chain"):
+the scan carries per-pixel class INDICES (`int32 [B,H,W]`), not one-hot
+floats. Between steps the state IS categorical — the one-hot expansion is
+recomputed in-register where it is consumed (the UNet input concat and the
+posterior), so the chain never materialises a `[B,H,W,C]` carry in HBM, and
+the categorical draw is inverse-CDF (`sample_categorical_icdf`: one uniform
+per pixel) instead of per-class Gumbel. At the Cityscapes knee geometry
+this cut the non-UNet step cost from ~40 ms to ~8 ms. The final (t==1)
+step runs OUTSIDE the scan: it resolves to majority/confidence and draws
+no noise, so the per-step body carries no dead branch.
+
 Timestep subsampling parity: the reference encodes "run K of T steps" as
 `init_t = 10000 + K` decoded into `round(linspace(T, 1, K))`
 (`diffusion_denoising.py:178-187`). Here K is simply a static argument
@@ -23,7 +34,7 @@ import numpy as np
 from ccdm_tpu.diffusion.categorical import (
     CategoricalDiffusion,
     max_prob_onehot,
-    sample_onehot,
+    sample_categorical_icdf,
     theta_post_prob,
     uniform_onehot_noise,
 )
@@ -85,7 +96,9 @@ def ancestral_sampler(
     Returns one-hot (majority) or probability (confidence) maps `[B,H,W,C]`.
     Parity: `DenoisingModel.forward_denoising` (`diffusion_denoising.py:164-215`)
     minus the vestigial classifier-guidance hooks (dead code upstream:
-    `guidance_fn` is referenced but never defined, `:199-202`).
+    `guidance_fn` is referenced but never defined, `:199-202`). The draw is
+    inverse-CDF rather than Gumbel-max — same categorical distribution,
+    different stream (see `sample_categorical_icdf`).
 
     With `element_keys` ([B] PRNG keys, `key` ignored) every batch element
     draws its chain noise from its OWN key, so an element's trajectory is
@@ -93,29 +106,33 @@ def ancestral_sampler(
     Eval harnesses derive these from global dataset positions, making
     results identical across batch sizes, host counts, and shardings.
 
-    Wrap in `jax.jit` (donate `xt` for in-place HBM reuse); `config` and the
-    step grid are static so each K compiles exactly once.
+    Wrap in `jax.jit`; `config` and the step grid are static so each K
+    compiles exactly once.
     """
-    t_grid = jnp.asarray(subsampled_t_values(d.time_steps, config.num_steps))
+    t_grid_np = subsampled_t_values(d.time_steps, config.num_steps)
+    k = int(config.num_steps)
     batch = xt.shape[0]
+    num_classes = xt.shape[-1]
 
-    def resolve(x, p0, t_scalar, step_idx):
-        """Posterior + draw/final resolution shared by both sampler forms."""
-        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+    def onehot(idx):
+        return jax.nn.one_hot(idx, num_classes, dtype=jnp.float32)
+
+    def posterior_probs(x, p0, t):
         probs = theta_post_prob(d, x, p0.astype(jnp.float32), t)
-        probs = jnp.clip(probs, min=1e-12)
+        return jnp.clip(probs, min=1e-12)
+
+    def draw(step_idx, probs):
         if element_keys is not None:
             step_keys = jax.vmap(jax.random.fold_in, (0, None))(element_keys, step_idx)
-            drawn = jax.vmap(sample_onehot)(step_keys, probs)
-        else:
-            drawn = sample_onehot(jax.random.fold_in(key, step_idx), probs)
-        if config.step_T_sample == "confidence":
-            final = probs
-        else:  # "majority" (also the reference's None default, `:209`)
-            final = max_prob_onehot(probs)
-        return jnp.where(t_scalar > 1, drawn, final)
+            return jax.vmap(sample_categorical_icdf)(step_keys, probs)
+        return sample_categorical_icdf(jax.random.fold_in(key, step_idx), probs)
 
-    steps = jnp.arange(config.num_steps, dtype=jnp.int32)
+    # prior arrives one-hot (API parity); the carried state is its indices
+    idx0 = jnp.argmax(xt, axis=-1).astype(jnp.int32)
+    t_scan = jnp.asarray(t_grid_np[:-1])
+    steps_scan = jnp.arange(k - 1, dtype=jnp.int32)
+    t_final = int(t_grid_np[-1])
+    t_final_vec = jnp.full((batch,), t_final, dtype=jnp.int32)
 
     if config.encoder_reuse > 1:
         if denoise_pair is None:
@@ -131,28 +148,48 @@ def ancestral_sampler(
             jax.eval_shape(lambda v: full_fn(v, jnp.full((batch,), 1, jnp.int32))[1], xt))
 
         def step_reuse(carry, inputs):
-            x, skips = carry
+            idx, skips = carry
             t_scalar, step_idx = inputs
+            x = onehot(idx)
             t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
             p0, skips = jax.lax.cond(
                 step_idx % r == 0,
                 lambda op: full_fn(*op[:2]),
                 lambda op: (reuse_fn(*op), op[2]),
                 (x, t, skips))
-            return (resolve(x, p0, t_scalar, step_idx), skips), None
+            probs = posterior_probs(x, p0, t)
+            return (draw(step_idx, probs), skips), None
 
-        (x_final, _), _ = jax.lax.scan(step_reuse, (xt, skips0), (t_grid, steps))
-        return x_final
+        (idx, skips), _ = jax.lax.scan(
+            step_reuse, (idx0, skips0), (t_scan, steps_scan))
+        x = onehot(idx)
+        # the final step's branch is static: step index k-1 against R
+        if (k - 1) % r == 0:
+            p0, _ = full_fn(x, t_final_vec)
+        else:
+            p0 = reuse_fn(x, t_final_vec, skips)
+    else:
+        def step(idx, inputs):
+            t_scalar, step_idx = inputs
+            x = onehot(idx)
+            t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+            probs = posterior_probs(x, denoise_fn(x, t), t)
+            return draw(step_idx, probs), None
 
-    def step(carry, inputs):
-        x, = carry
-        t_scalar, step_idx = inputs
-        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
-        p0 = denoise_fn(x, t)
-        return (resolve(x, p0, t_scalar, step_idx),), None
+        idx, _ = jax.lax.scan(step, idx0, (t_scan, steps_scan))
+        x = onehot(idx)
+        p0 = denoise_fn(x, t_final_vec)
 
-    (x_final,), _ = jax.lax.scan(step, (xt,), (t_grid, steps))
-    return x_final
+    probs = posterior_probs(x, p0, t_final_vec)
+    if t_final > 1:
+        # only reachable for K == 1 < T: the reference's loop never hits
+        # its t==1 resolution and the single step ends in an ordinary draw
+        # (`diffusion_denoising.py:204-212` with t > 1)
+        return onehot(draw(k - 1, probs))
+    if config.step_T_sample == "confidence":
+        return probs
+    # "majority" (also the reference's None default, `:209`)
+    return max_prob_onehot(probs)
 
 
 def sample_prior(key: jax.Array, batch: int, height: int, width: int, num_classes: int) -> jnp.ndarray:

@@ -111,9 +111,14 @@ def run_one_seed(seed: int) -> dict | None:
         f"_s{seed}" if seed else "")
     run_dir = os.path.join(root, "run")
     data_dir = os.path.join(root, "data")
-    if os.path.isdir(root):
+    # CS_REUSE_RUN=1: keep an existing trained checkpoint and only re-run
+    # the eval half — for A/B-ing eval-side knobs (encoder_reuse, votes)
+    # against the SAME weights without paying the ~21-min training again
+    reuse_run = os.environ.get("CS_REUSE_RUN") == "1" and os.path.isdir(run_dir)
+    if os.path.isdir(root) and not reuse_run:
         shutil.rmtree(root)  # stale checkpoints would gate old weights
-    make_learnable_tree(data_dir)
+    if not reuse_run:
+        make_learnable_tree(data_dir)
     os.environ["CCDM_CITYSCAPES_PATH"] = data_dir
 
     tiny = os.environ.get("CS_TINY") == "1"  # CPU test mode
@@ -157,16 +162,21 @@ def run_one_seed(seed: int) -> dict | None:
         "seed": seed,
     }
 
-    from ccdm_tpu.train.trainer import run_train
+    if reuse_run:
+        print(f"[cs-gate] CS_REUSE_RUN: evaluating existing checkpoint in "
+              f"{run_dir}")
+    else:
+        from ccdm_tpu.train.trainer import run_train
 
-    state = run_train(train_params, max_steps=steps)
-    if int(state.step) < steps:
-        # a SIGTERM (e.g. `timeout`) triggers graceful preemption: the
-        # trainer checkpoints and returns early rather than dying — gating
-        # a partially-trained model would report a bogus regression
-        print(f"[cs-gate] ABORT: training preempted at step {int(state.step)}"
-              f" < {steps}; no quality verdict")
-        return None
+        state = run_train(train_params, max_steps=steps)
+        if int(state.step) < steps:
+            # a SIGTERM (e.g. `timeout`) triggers graceful preemption: the
+            # trainer checkpoints and returns early rather than dying —
+            # gating a partially-trained model would report a bogus
+            # regression
+            print(f"[cs-gate] ABORT: training preempted at step "
+                  f"{int(state.step)} < {steps}; no quality verdict")
+            return None
 
     from ccdm_tpu.eval.cityscapes_eval import run_inference
 
@@ -186,10 +196,14 @@ def run_one_seed(seed: int) -> dict | None:
                        "evaluation_vote_strategy": "confidence"},
         "load_from": run_dir,
         "seed": seed,
+        # eval-side acceleration knob under gate (PERFNOTES round 5:
+        # encoder-reuse A/B at the Cityscapes geometry)
+        "encoder_reuse": int(os.environ.get("CS_ENCODER_REUSE", 1)),
     }
     res = run_inference(eval_params)
     official = res["official"]["averageScoreClasses"]
     summary = {"steps": steps, "seed": seed, "gate_miou": gate_miou,
+               "encoder_reuse": eval_params["encoder_reuse"],
                "mIoU_trainid_cm": float(res["mIoU"]),
                "mIoU_official": float(official)}
     out = os.path.join(root, "cityscapes_gate.json")

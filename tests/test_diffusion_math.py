@@ -200,3 +200,24 @@ def test_sampling_statistics():
     noise = np.asarray(uniform_onehot_noise(key, (2, 32, 32), 4))
     np.testing.assert_allclose(noise.sum(-1), 1.0)
     np.testing.assert_allclose(noise.mean((0, 1, 2)), 0.25, atol=0.05)
+
+
+def test_icdf_sampling_matches_distribution():
+    """`sample_categorical_icdf` (the ancestral sampler's draw) is an exact
+    categorical draw: per-class frequencies match the probabilities, it
+    handles unnormalised inputs, and never emits out-of-range indices."""
+    from ccdm_tpu.diffusion.categorical import sample_categorical_icdf
+
+    key = jax.random.PRNGKey(3)
+    p = np.array([0.05, 0.3, 0.0, 0.45, 0.2], np.float32)
+    probs = jnp.tile(jnp.asarray(p), (400, 400, 1))
+    idx = np.asarray(sample_categorical_icdf(key, probs))
+    assert idx.shape == (400, 400)
+    assert idx.min() >= 0 and idx.max() <= 4
+    freq = np.bincount(idx.reshape(-1), minlength=5) / idx.size
+    np.testing.assert_allclose(freq, p, atol=5e-3)
+    assert freq[2] == 0.0  # zero-probability class is never drawn
+
+    # unnormalised probs draw from the normalised distribution
+    idx2 = np.asarray(sample_categorical_icdf(key, probs * 7.3))
+    np.testing.assert_array_equal(idx, idx2)

@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ccdm_tpu.diffusion.categorical import max_prob_onehot, sample_onehot, theta_post_prob
+from ccdm_tpu.diffusion.categorical import (
+    max_prob_onehot,
+    sample_categorical_icdf,
+    theta_post_prob,
+)
 from ccdm_tpu.diffusion.sampling import (
     SamplerConfig,
     ancestral_sampler,
@@ -71,7 +75,9 @@ def test_reuse_sampler_matches_eager_replay():
         model.diffusion, model.denoise_fn(params, cond), x, k, cfg,
         denoise_pair=pair))(xt, key)
 
-    # eager replay of the exact schedule: full encoder on even step indices
+    # eager replay of the exact schedule: full encoder on even step indices,
+    # inverse-CDF draws on non-final steps, majority resolution at t==1
+    # (the sampler's contract — see sampling.py)
     full_fn, reuse_fn = pair
     x = xt
     skips = None
@@ -83,8 +89,11 @@ def test_reuse_sampler_matches_eager_replay():
             p0 = reuse_fn(x, t, skips)
         probs = jnp.clip(theta_post_prob(model.diffusion, x,
                                          p0.astype(jnp.float32), t), min=1e-12)
-        drawn = sample_onehot(jax.random.fold_in(key, step_idx), probs)
-        x = jnp.where(int(t_s) > 1, drawn, max_prob_onehot(probs))
+        if int(t_s) > 1:
+            idx = sample_categorical_icdf(jax.random.fold_in(key, step_idx), probs)
+            x = jax.nn.one_hot(idx, 2, dtype=jnp.float32)
+        else:
+            x = max_prob_onehot(probs)
     np.testing.assert_allclose(np.asarray(compiled), np.asarray(x),
                                rtol=1e-5, atol=1e-6)
 
