@@ -53,12 +53,13 @@ TRAIN_STEPS = 600
 # test_reference_certification.py) so the band absorbs only the REFERENCE
 # run's single-seed sampling noise plus the residual mean noise
 OUR_EVAL_SEEDS = (3, 4, 5)
-# Bands: see scripts/calibrate_cs_certification.py (round 5, this
-# N_VAL/EVALUATIONS protocol) — pinned at ~2.5x the measured max
-# |mean(ours) - theirs(torch seed s)| noise, so a vote-strategy or
-# upsample regression of ~0.05 mIoU FAILS (the old 0.10 band hid it).
-MIOU_BAND = 0.035
-CM19_BAND = 0.05
+# Bands pinned from scripts/calibrate_cs_certification.py at this exact
+# protocol (round 5): over 3 reference torch seeds, max |mean(ours) -
+# theirs| was 0.0062 official mIoU and 0.0128 cm19 mIoU; bands are ~3x
+# that measured noise, so a vote-strategy or upsample regression of ~0.05
+# mIoU FAILS (the old 0.10 band hid it).
+MIOU_BAND = 0.02
+CM19_BAND = 0.035
 
 UNET = {
     # base 32: the reference's GroupNorm32 requires channels % 32 == 0
