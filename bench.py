@@ -241,13 +241,14 @@ def main_cityscapes():
     # round 3 (PERFNOTES "Cityscapes 256x512 + DINO ViT-B/8 headline") and
     # the recorded headline mode is float; BENCH_INT8=static re-measures it
     int8_mode = os.environ.get("BENCH_INT8", "0")
-    # R=2 default (TPU): encoder-reuse measured quality-NEUTRAL at this
+    # R=3 default (TPU): encoder-reuse measured quality-NEUTRAL at this
     # geometry on the pinned CS gate checkpoint (PERFNOTES round 5:
-    # official mIoU 0.8202 R=1 / 0.8229 R=2 / 0.8228 R=3) and +14%
-    # throughput; R=3 (+19%) also passes the gate. BENCH_ENCODER_REUSE=1
-    # for the reference-exact sampler. The CPU fallback keeps R=1 (its
-    # baseline is the torch reference at the same semantics).
-    enc_reuse = int(os.environ.get("BENCH_ENCODER_REUSE", 1 if fallback else 2))
+    # official mIoU 0.8202 R=1 / 0.8229 R=2 / 0.8228 R=3); full-protocol
+    # headline 2.92 samples/s/chip at R=3 vs 2.79 R=2 / 2.42 R=1.
+    # BENCH_ENCODER_REUSE=1 for the reference-exact sampler. The CPU
+    # fallback keeps R=1 (its baseline is the torch reference at the same
+    # semantics).
+    enc_reuse = int(os.environ.get("BENCH_ENCODER_REUSE", 1 if fallback else 3))
     # keep extrapolated scans a whole number of reuse periods (see main())
     if measured_steps != num_steps and enc_reuse > 1:
         measured_steps = -(-measured_steps // enc_reuse) * enc_reuse
