@@ -6,16 +6,27 @@ loop is a single `lax.scan`: one compilation, weights stay resident in HBM,
 per-step categorical sampling / posterior math / final argmax all fuse
 on-device, and the host is only touched once at the end.
 
-TPU-native state layout (round 5, PERFNOTES "Cityscapes sampler chain"):
-the scan carries per-pixel class INDICES (`int32 [B,H,W]`), not one-hot
-floats. Between steps the state IS categorical — the one-hot expansion is
-recomputed in-register where it is consumed (the UNet input concat and the
-posterior), so the chain never materialises a `[B,H,W,C]` carry in HBM, and
-the categorical draw is inverse-CDF (`sample_categorical_icdf`: one uniform
-per pixel) instead of per-class Gumbel. At the Cityscapes knee geometry
-this cut the non-UNet step cost from ~40 ms to ~8 ms. The final (t==1)
-step runs OUTSIDE the scan: it resolves to majority/confidence and draws
-no noise, so the per-step body carries no dead branch.
+TPU-native state layout is GEOMETRY-ADAPTIVE (both paths measured,
+PERFNOTES round 5):
+
+- **index state** (wide class axis, C >= 8): the scan carries per-pixel
+  class INDICES (`int32 [B,H,W]`), not one-hot floats. The one-hot
+  expansion is recomputed in-register where it is consumed (the UNet input
+  concat and the posterior), so the chain never materialises a `[B,H,W,C]`
+  carry in HBM, and the draw is inverse-CDF (`sample_categorical_icdf`:
+  one uniform per pixel, no transcendentals) instead of per-class Gumbel.
+  At the Cityscapes knee ([128,256,512,20]) this cut the non-UNet step
+  cost from ~40 ms to ~8 ms. The final (t==1) step runs OUTSIDE the scan:
+  it resolves to majority/confidence and draws no noise.
+- **one-hot state** (narrow class axis, e.g. LIDC's C=2): the round-1
+  layout — one-hot float carry, Gumbel draws, final step resolved by a
+  `where` inside the scan. At C=2 the carry is small, the whole chain
+  fuses into the UNet epilogue, and the index restructure measured a
+  net LOSS (-12% on the flagship bench), so it stays.
+
+`SamplerConfig.state` ("auto" default) picks per `_INDEX_STATE_MIN_CLASSES`;
+force "index"/"onehot" to override. Both paths draw exact categorical
+samples; their PRNG streams differ.
 
 Timestep subsampling parity: the reference encodes "run K of T steps" as
 `init_t = 10000 + K` decoded into `round(linspace(T, 1, K))`
@@ -35,6 +46,7 @@ from ccdm_tpu.diffusion.categorical import (
     CategoricalDiffusion,
     max_prob_onehot,
     sample_categorical_icdf,
+    sample_onehot,
     theta_post_prob,
     uniform_onehot_noise,
 )
@@ -64,6 +76,21 @@ class SamplerConfig(NamedTuple):
     num_steps: int  # K: number of reverse steps actually executed
     step_T_sample: str = "majority"  # "majority" | "confidence"
     encoder_reuse: int = 1  # R: full encoder every R-th step
+    state: str = "auto"  # "auto" | "index" | "onehot" (see module docstring)
+
+
+# Measured crossover: the index/inverse-CDF layout wins at C=20 (-32 ms
+# isolated chain) and loses at C=2 (-12% flagship bench, the one-hot chain
+# fuses into the UNet epilogue there). Only C=2 and C=20 exist in the
+# reference's configs; 8 splits them with the scaling argument (icdf's
+# advantage grows ~linearly in C).
+_INDEX_STATE_MIN_CLASSES = 8
+
+
+def _resolve_state(config: SamplerConfig, num_classes: int) -> str:
+    if config.state != "auto":
+        return config.state
+    return "index" if num_classes >= _INDEX_STATE_MIN_CLASSES else "onehot"
 
 
 def subsampled_t_values(time_steps: int, num_steps: int) -> np.ndarray:
@@ -96,9 +123,9 @@ def ancestral_sampler(
     Returns one-hot (majority) or probability (confidence) maps `[B,H,W,C]`.
     Parity: `DenoisingModel.forward_denoising` (`diffusion_denoising.py:164-215`)
     minus the vestigial classifier-guidance hooks (dead code upstream:
-    `guidance_fn` is referenced but never defined, `:199-202`). The draw is
-    inverse-CDF rather than Gumbel-max — same categorical distribution,
-    different stream (see `sample_categorical_icdf`).
+    `guidance_fn` is referenced but never defined, `:199-202`). The state
+    layout and draw algorithm are geometry-adaptive (module docstring);
+    both are exact categorical ancestral sampling.
 
     With `element_keys` ([B] PRNG keys, `key` ignored) every batch element
     draws its chain noise from its OWN key, so an element's trajectory is
@@ -109,6 +136,17 @@ def ancestral_sampler(
     Wrap in `jax.jit`; `config` and the step grid are static so each K
     compiles exactly once.
     """
+    if _resolve_state(config, xt.shape[-1]) == "index":
+        return _sample_index_state(d, denoise_fn, xt, key, config,
+                                   element_keys, denoise_pair)
+    return _sample_onehot_state(d, denoise_fn, xt, key, config,
+                                element_keys, denoise_pair)
+
+
+def _sample_index_state(d, denoise_fn, xt, key, config, element_keys,
+                        denoise_pair):
+    """Wide-C path: int32 index carry, inverse-CDF draws, final step
+    outside the scan (measured -32 ms/step at the Cityscapes knee)."""
     t_grid_np = subsampled_t_values(d.time_steps, config.num_steps)
     k = int(config.num_steps)
     batch = xt.shape[0]
@@ -190,6 +228,71 @@ def ancestral_sampler(
         return probs
     # "majority" (also the reference's None default, `:209`)
     return max_prob_onehot(probs)
+
+
+def _sample_onehot_state(d, denoise_fn, xt, key, config, element_keys,
+                         denoise_pair):
+    """Narrow-C path: one-hot float carry, Gumbel draws, final step
+    resolved by a `where` inside the scan — at C=2 the whole chain fuses
+    into the UNet epilogue and the index restructure measured a net loss
+    (PERFNOTES round 5)."""
+    t_grid = jnp.asarray(subsampled_t_values(d.time_steps, config.num_steps))
+    batch = xt.shape[0]
+
+    def resolve(x, p0, t_scalar, step_idx):
+        """Posterior + draw/final resolution shared by both sampler forms."""
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        probs = theta_post_prob(d, x, p0.astype(jnp.float32), t)
+        probs = jnp.clip(probs, min=1e-12)
+        if element_keys is not None:
+            step_keys = jax.vmap(jax.random.fold_in, (0, None))(element_keys, step_idx)
+            drawn = jax.vmap(sample_onehot)(step_keys, probs)
+        else:
+            drawn = sample_onehot(jax.random.fold_in(key, step_idx), probs)
+        if config.step_T_sample == "confidence":
+            final = probs
+        else:  # "majority" (also the reference's None default, `:209`)
+            final = max_prob_onehot(probs)
+        return jnp.where(t_scalar > 1, drawn, final)
+
+    steps = jnp.arange(config.num_steps, dtype=jnp.int32)
+
+    if config.encoder_reuse > 1:
+        if denoise_pair is None:
+            raise ValueError("encoder_reuse > 1 needs denoise_pair "
+                             "(DenoisingModel.denoise_fns_cached)")
+        full_fn, reuse_fn = denoise_pair
+        r = int(config.encoder_reuse)
+
+        # shape-only placeholder for the skips carry; step 0 always takes
+        # the full branch, so the zeros never influence any result
+        skips0 = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(lambda v: full_fn(v, jnp.full((batch,), 1, jnp.int32))[1], xt))
+
+        def step_reuse(carry, inputs):
+            x, skips = carry
+            t_scalar, step_idx = inputs
+            t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+            p0, skips = jax.lax.cond(
+                step_idx % r == 0,
+                lambda op: full_fn(*op[:2]),
+                lambda op: (reuse_fn(*op), op[2]),
+                (x, t, skips))
+            return (resolve(x, p0, t_scalar, step_idx), skips), None
+
+        (x_final, _), _ = jax.lax.scan(step_reuse, (xt, skips0), (t_grid, steps))
+        return x_final
+
+    def step(carry, inputs):
+        x, = carry
+        t_scalar, step_idx = inputs
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        p0 = denoise_fn(x, t)
+        return (resolve(x, p0, t_scalar, step_idx),), None
+
+    (x_final,), _ = jax.lax.scan(step, (xt,), (t_grid, steps))
+    return x_final
 
 
 def sample_prior(key: jax.Array, batch: int, height: int, width: int, num_classes: int) -> jnp.ndarray:

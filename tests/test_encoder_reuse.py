@@ -19,6 +19,7 @@ import numpy as np
 from ccdm_tpu.diffusion.categorical import (
     max_prob_onehot,
     sample_categorical_icdf,
+    sample_onehot,
     theta_post_prob,
 )
 from ccdm_tpu.diffusion.sampling import (
@@ -75,13 +76,45 @@ def test_reuse_sampler_matches_eager_replay():
         model.diffusion, model.denoise_fn(params, cond), x, k, cfg,
         denoise_pair=pair))(xt, key)
 
-    # eager replay of the exact schedule: full encoder on even step indices,
-    # inverse-CDF draws on non-final steps, majority resolution at t==1
-    # (the sampler's contract — see sampling.py)
+    # eager replay of the exact schedule: full encoder on even step indices.
+    # C=2 resolves to the one-hot state path (Gumbel draws, where-resolved
+    # final step — sampling.py `_resolve_state`)
     full_fn, reuse_fn = pair
     x = xt
     skips = None
     for step_idx, t_s in enumerate(subsampled_t_values(model.time_steps, 4)):
+        t = jnp.full((2,), int(t_s), jnp.int32)
+        if step_idx % 2 == 0:
+            p0, skips = full_fn(x, t)
+        else:
+            p0 = reuse_fn(x, t, skips)
+        probs = jnp.clip(theta_post_prob(model.diffusion, x,
+                                         p0.astype(jnp.float32), t), min=1e-12)
+        drawn = sample_onehot(jax.random.fold_in(key, step_idx), probs)
+        x = jnp.where(int(t_s) > 1, drawn, max_prob_onehot(probs))
+    np.testing.assert_allclose(np.asarray(compiled), np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_reuse_sampler_matches_eager_replay_index_state():
+    """The same trajectory-equality pin for the wide-C path (int-index
+    carry + inverse-CDF draws + final step outside the scan), forced via
+    `state=\"index\"` at C=2 so the replay stays cheap."""
+    model, params, cond, xt = _setup()
+    key = jax.random.PRNGKey(7)
+    cfg = SamplerConfig(num_steps=4, step_T_sample="majority",
+                        encoder_reuse=2, state="index")
+    pair = model.denoise_fns_cached(params, cond)
+
+    compiled = jax.jit(lambda x, k: ancestral_sampler(
+        model.diffusion, model.denoise_fn(params, cond), x, k, cfg,
+        denoise_pair=pair))(xt, key)
+
+    full_fn, reuse_fn = pair
+    x = xt
+    skips = None
+    grid = subsampled_t_values(model.time_steps, 4)
+    for step_idx, t_s in enumerate(grid):
         t = jnp.full((2,), int(t_s), jnp.int32)
         if step_idx % 2 == 0:
             p0, skips = full_fn(x, t)
