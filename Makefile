@@ -3,9 +3,9 @@
 .PHONY: test test-full bench bench-train bench-cityscapes smoke demo \
 	demo-cityscapes native clean profile-train er-ab bench-flash-bwd
 
-# fast tier (<10 min): everything except the reference-certification loops
-# and the 2-process multihost runs, which together dominate the full suite
-# (~45 of 55 min — see STATUS.md "Test suite")
+# fast tier: everything except the reference-certification loops and the
+# 2-process multihost runs (~10-20 min depending on XLA compile-cache
+# warmth; the excluded tier adds another ~40 min — see STATUS.md)
 test:
 	python -m pytest tests/ -x -q -m "not certification"
 
