@@ -321,6 +321,7 @@ def main_cityscapes():
     samples_per_sec = num_images * num_samples * reps / dt_full / chips_used
 
     vs_baseline = None
+    ref = None
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
     if os.path.exists(baseline_file):
@@ -329,14 +330,43 @@ def main_cityscapes():
         if ref:
             vs_baseline = samples_per_sec / ref
 
+    # BENCH_PARITY=1: additionally time the reference-exact sampler (float
+    # convs, R=1) so both semantics land in one artifact, like the LIDC
+    # bench. Off by default here — the CS parity compile costs another
+    # ~5 min through the tunnel and the R=1 number is in PERFNOTES.
+    semantics = ("reference-exact"
+                 if int8_mode not in ("1", "static") and enc_reuse == 1
+                 else "accelerated (quality-gated: make demo-cityscapes)")
+    parity = None
+    if os.environ.get("BENCH_PARITY") == "1" and semantics != "reference-exact":
+        model_f = build_model(dict(CITYSCAPES_BENCH_PARAMS),
+                              num_classes=c, image_channels=3, image_size=h)
+        sampler_f = make_prob_sampler(model_f, num_samples, measured_steps,
+                                      mesh=mesh, feature_fn=sampler_feature_fn,
+                                      encoder_reuse=1)
+        float(jnp.sum(sampler_f(params, images, key,
+                                feature_params=sampler_feature_params)))
+        t0 = time.perf_counter()
+        acc = 0.0
+        for i in range(reps):
+            acc += float(jnp.sum(sampler_f(
+                params, images, jax.random.fold_in(key, 100 + i),
+                feature_params=sampler_feature_params)))
+        assert np.isfinite(acc)
+        dt_parity = ((time.perf_counter() - t0) * (num_steps / measured_steps)
+                     + reps * enc_time)
+        parity_sps = num_images * num_samples * reps / dt_parity / chips_used
+        parity = {"value": round(parity_sps, 4),
+                  "vs_baseline": round(parity_sps / ref, 2) if ref else None,
+                  "semantics": "reference-exact"}
+
     print(json.dumps({
         "metric": "cityscapes_dino_256x512_inference_throughput",
         "value": round(samples_per_sec, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "semantics": ("reference-exact"
-                      if int8_mode not in ("1", "static") and enc_reuse == 1
-                      else "accelerated (quality-gated: make demo-cityscapes)"),
+        "semantics": semantics,
+        "parity": parity,
         "config": {
             "images": num_images, "samples_per_image": num_samples,
             "steps": num_steps, "resolution": [h, w], "classes": c,
