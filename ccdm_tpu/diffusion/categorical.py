@@ -115,6 +115,29 @@ def theta_post_prob(d: CategoricalDiffusion, xt: jnp.ndarray, theta_x0: jnp.ndar
     return u * (cab * r + (1.0 - cab) / c * s_r)
 
 
+def theta_post_prob_from_idx(d: CategoricalDiffusion, idx: jnp.ndarray, theta_x0: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """`theta_post_prob` specialised to an EXACTLY one-hot `x_t` given as
+    indices `[B,H,W]` — the ancestral sampler's index-state path.
+
+    With `x_t = onehot(idx)`: `u_k = (1-a)/C + a·1[k=idx]` is analytic and
+    `S_u = Σu = 1` exactly, so the generic form's `S_u` reduction pass over
+    the `[B,H,W,C]` tensor disappears and `denom` needs no broadcast of a
+    computed sum. Algebraically identical to
+    `theta_post_prob(d, onehot(idx), theta_x0, t)` up to fp reassociation
+    (the generic path's fp32 `S_u` is 1±ulp); tested to 1e-6.
+    """
+    a = _gather_bcast(d.schedule.alphas_eff, t)
+    cab = _gather_bcast(d.schedule.cumalphas_prev, t)
+    c = theta_x0.shape[-1]
+
+    hit = jax.lax.broadcasted_iota(jnp.int32, theta_x0.shape, theta_x0.ndim - 1) == idx[..., None]
+    u = (1.0 - a) / c + a * hit.astype(jnp.float32)
+    denom = cab * u + (1.0 - cab) / c  # S_u == 1 exactly for one-hot x_t
+    r = theta_x0.astype(jnp.float32) / denom
+    s_r = jnp.sum(r, axis=-1, keepdims=True)
+    return u * (cab * r + (1.0 - cab) / c * s_r)
+
+
 def theta_post_prob_naive(d: CategoricalDiffusion, xt: jnp.ndarray, theta_x0: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Direct C×C-matrix evaluation of the marginalised posterior.
 

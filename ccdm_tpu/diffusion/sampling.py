@@ -48,6 +48,7 @@ from ccdm_tpu.diffusion.categorical import (
     sample_categorical_icdf,
     sample_onehot,
     theta_post_prob,
+    theta_post_prob_from_idx,
     uniform_onehot_noise,
 )
 
@@ -155,8 +156,10 @@ def _sample_index_state(d, denoise_fn, xt, key, config, element_keys,
     def onehot(idx):
         return jax.nn.one_hot(idx, num_classes, dtype=jnp.float32)
 
-    def posterior_probs(x, p0, t):
-        probs = theta_post_prob(d, x, p0.astype(jnp.float32), t)
+    def posterior_probs(idx, p0, t):
+        # index-specialised posterior: x_t is exactly one-hot here, so the
+        # generic form's S_u reduction pass is skipped (categorical.py)
+        probs = theta_post_prob_from_idx(d, idx, p0.astype(jnp.float32), t)
         return jnp.clip(probs, min=1e-12)
 
     def draw(step_idx, probs):
@@ -195,7 +198,7 @@ def _sample_index_state(d, denoise_fn, xt, key, config, element_keys,
                 lambda op: full_fn(*op[:2]),
                 lambda op: (reuse_fn(*op), op[2]),
                 (x, t, skips))
-            probs = posterior_probs(x, p0, t)
+            probs = posterior_probs(idx, p0, t)
             return (draw(step_idx, probs), skips), None
 
         (idx, skips), _ = jax.lax.scan(
@@ -211,14 +214,14 @@ def _sample_index_state(d, denoise_fn, xt, key, config, element_keys,
             t_scalar, step_idx = inputs
             x = onehot(idx)
             t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
-            probs = posterior_probs(x, denoise_fn(x, t), t)
+            probs = posterior_probs(idx, denoise_fn(x, t), t)
             return draw(step_idx, probs), None
 
         idx, _ = jax.lax.scan(step, idx0, (t_scan, steps_scan))
         x = onehot(idx)
         p0 = denoise_fn(x, t_final_vec)
 
-    probs = posterior_probs(x, p0, t_final_vec)
+    probs = posterior_probs(idx, p0, t_final_vec)
     if t_final > 1:
         # only reachable for K == 1 < T: the reference's loop never hits
         # its t==1 resolution and the single step ends in an ordinary draw

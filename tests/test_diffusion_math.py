@@ -202,6 +202,28 @@ def test_sampling_statistics():
     np.testing.assert_allclose(noise.mean((0, 1, 2)), 0.25, atol=0.05)
 
 
+def test_theta_post_prob_from_idx_matches_generic():
+    """The sampler's index-specialised posterior equals the generic form on
+    exactly one-hot x_t (up to the generic path's fp32 S_u being 1±ulp)."""
+    from ccdm_tpu.diffusion.categorical import (
+        CategoricalDiffusion,
+        theta_post_prob,
+        theta_post_prob_from_idx,
+    )
+
+    rng = np.random.default_rng(5)
+    for c in (2, 20):
+        d = CategoricalDiffusion.create("cosine", 50, c)
+        idx = jnp.asarray(rng.integers(0, c, (3, 8, 8)), jnp.int32)
+        x = jax.nn.one_hot(idx, c, dtype=jnp.float32)
+        p0 = jnp.asarray(rng.dirichlet(np.ones(c), (3, 8, 8)), jnp.float32)
+        for t_val in (1, 2, 25, 50):
+            t = jnp.full((3,), t_val, jnp.int32)
+            generic = np.asarray(theta_post_prob(d, x, p0, t))
+            special = np.asarray(theta_post_prob_from_idx(d, idx, p0, t))
+            np.testing.assert_allclose(special, generic, rtol=1e-6, atol=1e-6)
+
+
 def test_icdf_sampling_matches_distribution():
     """`sample_categorical_icdf` (the ancestral sampler's draw) is an exact
     categorical draw: per-class frequencies match the probabilities, it
