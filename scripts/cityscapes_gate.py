@@ -37,6 +37,21 @@ import os
 import shutil
 import sys
 
+# CS_CPU=1 forces the CPU backend. JAX_PLATFORMS env alone does NOT work
+# here: this image's sitecustomize pre-imports jax and pins the platform,
+# so only a jax.config update before first backend use takes effect (the
+# same reason the CLIs have --cpu). Without this the "CPU" tiny-mode test
+# silently ran through the TPU tunnel and its 900s budget blew whenever
+# the remote compile cache went cold (observed round 5).
+if os.environ.get("CS_CPU") == "1" or os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backend already initialized (e.g. imported under pytest's
+        # conftest, which has itself already forced CPU)
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -47,7 +47,11 @@ def test_learnable_tree_is_wellformed(tmp_path):
 def test_gate_script_end_to_end_tiny(tmp_path):
     env = dict(
         os.environ,
+        # CS_CPU (a jax.config update inside the script) is what actually
+        # forces CPU — the env var alone is overridden by sitecustomize's
+        # early jax import; kept too for non-sitecustomize environments
         JAX_PLATFORMS="cpu",
+        CS_CPU="1",
         CS_TINY="1",
         CS_STEPS="2",
         CS_GATE_MIOU="0.0",
